@@ -1,0 +1,66 @@
+"""Sharded block-parallel steps on the 8-device CPU mesh.
+
+Replaces the reference's role of CPU gold implementations for parallel
+paths (SURVEY.md §4.7): sharded output must equal the single-device
+output exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpulc.dist.mesh import make_mesh
+from tpulc.dist.sharded import (
+    global_histogram,
+    sharded_huffman_encode,
+    sharded_huffman_roundtrip_step,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_global_histogram_matches_numpy():
+    mesh = make_mesh()
+    rng = np.random.default_rng(6)
+    blocks = rng.integers(0, 256, size=(16, 1024)).astype(np.uint8)
+    ns = np.full((16,), 1024, np.int32)
+    ns[-1] = 100  # short last block
+    hist = np.asarray(global_histogram(mesh, jnp.asarray(blocks), jnp.asarray(ns)))
+    want = np.bincount(
+        np.concatenate([blocks[i, : ns[i]] for i in range(16)]), minlength=256
+    )
+    np.testing.assert_array_equal(hist, want)
+
+
+def test_sharded_encode_matches_single_device():
+    mesh = make_mesh()
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(0, 256, size=(8, 2048)).astype(np.uint8)
+    ns = np.full((8,), 2048, np.int32)
+    codes = np.arange(256, dtype=np.uint32)
+    lengths = np.full((256,), 8, np.int32)
+    out_words = 2048 * 8 // 32 + 1
+    words, bits = sharded_huffman_encode(
+        mesh, jnp.asarray(blocks), jnp.asarray(ns),
+        jnp.asarray(codes), jnp.asarray(lengths), out_words,
+    )
+    # 8-bit flat code: packed words are just the bytes big-endian
+    from tpulc.primitives.bits import bytes_to_words_msb
+
+    for i in range(8):
+        want = np.asarray(bytes_to_words_msb(jnp.asarray(blocks[i]), out_words))
+        np.testing.assert_array_equal(np.asarray(words[i]), want)
+    assert np.all(np.asarray(bits) == 2048 * 8)
+
+
+def test_dryrun_step_runs():
+    mesh = make_mesh()
+    from tpulc.dist.sharded import sharded_huffman_roundtrip_step
+
+    step, make_args = sharded_huffman_roundtrip_step(mesh, 512)
+    ghist, words, all_bits = step(*make_args(16))
+    jax.block_until_ready((ghist, words, all_bits))
+    assert int(jnp.sum(ghist)) == 16 * 512

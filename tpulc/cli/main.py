@@ -1,0 +1,66 @@
+"""tpulc command-line driver.
+
+The L5 layer of SURVEY.md §1: replaces the six per-project CLIs
+(culzss `main.c:149`, bzip2.c, bsc.cpp:130, cuhd demo.cc:33, ...) with
+one `compress`/`decompress` pair plus codec selection.
+
+Usage:
+    python -m tpulc.cli compress   -c huffman -i IN -o OUT [-b BLOCKSIZE]
+    python -m tpulc.cli decompress -i IN -o OUT
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from tpulc.pipeline.container import Container
+from tpulc.pipeline.registry import available_codecs, get_codec
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser(prog="tpulc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("compress")
+    c.add_argument("-c", "--codec", default="huffman",
+                   choices=sorted(available_codecs()))
+    c.add_argument("-i", "--input", required=True)
+    c.add_argument("-o", "--output", required=True)
+    c.add_argument("-b", "--block-size", type=int, default=1 << 20)
+    d = sub.add_parser("decompress")
+    d.add_argument("-i", "--input", required=True)
+    d.add_argument("-o", "--output", required=True)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = _parse(argv if argv is not None else sys.argv[1:])
+    with open(args.input, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    if args.cmd == "compress":
+        codec = get_codec(args.codec)
+        out = codec.compress(data, block_size=args.block_size)
+        dt = time.perf_counter() - t0
+        ratio = len(data) / max(len(out), 1)
+        print(
+            f"compressed {len(data)} -> {len(out)} bytes "
+            f"(ratio {ratio:.3f}) in {dt:.3f}s "
+            f"({len(data) / dt / 1e6:.2f} MB/s)"
+        )
+    else:
+        codec = get_codec(Container.from_bytes(data).codec_id)
+        out = codec.decompress(data)
+        dt = time.perf_counter() - t0
+        print(
+            f"decompressed {len(data)} -> {len(out)} bytes in {dt:.3f}s "
+            f"({len(out) / dt / 1e6:.2f} MB/s)"
+        )
+    with open(args.output, "wb") as f:
+        f.write(out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

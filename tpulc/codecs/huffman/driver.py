@@ -1,0 +1,179 @@
+"""Huffman codec driver: block compress/decompress against the container.
+
+Per-block payload layout (little-endian):
+
+    n           u32   symbols in this block
+    total_bits  u32   valid bits in the codeword stream
+    mode        u8    bit0: aligned chunk-offset table present
+    lengths     128B  256 code lengths, nibble-packed (max_len <= 15)
+    [nchunks    u32   when mode&1
+     offsets    u32 * nchunks  absolute bit offset of each chunk]
+    words       4B * ceil(total_bits/32)  MSB-first codeword stream
+
+The aligned table stores the bit offset of every CHUNK_SYMS-symbol
+group (finer than cudpp's 4096-char Huffman blocks, `cudpp_globals.h:65`,
+since the TPU decode loop's trip count is the chunk symbol count), letting
+the decoder skip the self-synchronization phases.  Without it, the
+scan-composition decoder recovers the partition on its own (CUHD mode).
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpulc.codecs.huffman.tables import DEFAULT_MAX_LEN, HuffmanTable
+from tpulc.codecs.huffman.decode import huffman_decode, huffman_decode_aligned
+from tpulc.pipeline.container import Container
+from tpulc.pipeline.registry import CODEC_HUFFMAN
+from tpulc.primitives.bits import pack_bits
+from tpulc.primitives.checksum import adler32_np
+
+CHUNK_SYMS = 256
+_BLOCK_HEAD = struct.Struct("<IIB")
+
+FLAG_ALIGNED = 1
+
+
+@partial(jax.jit, static_argnames=("out_words", "nchunks"))
+def _encode_block(block, n, codes, lengths, out_words: int, nchunks: int):
+    """Jitted per-block encode. Padding symbols get zero length."""
+    idx = block.astype(jnp.int32)
+    valid = jnp.arange(block.shape[0], dtype=jnp.int32) < n
+    sym_lens = jnp.where(valid, lengths[idx], 0)
+    sym_codes = jnp.where(valid, codes[idx], 0).astype(jnp.uint32)
+    words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
+    off = jnp.cumsum(sym_lens) - sym_lens
+    chunk_offsets = off[:: CHUNK_SYMS][:nchunks].astype(jnp.int32)
+    # Chunks that start at/after n carry total_bits (empty range).
+    chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < n
+    chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
+    return words, total_bits, chunk_offsets
+
+
+@partial(jax.jit, static_argnames=("max_len", "n_out"))
+def _decode_block_selfsync(words, total_bits, lut_sym, lut_len,
+                           max_len: int, n_out: int):
+    return huffman_decode(words, total_bits, n_out, lut_sym, lut_len, max_len)
+
+
+@partial(jax.jit, static_argnames=("max_len", "n_out"))
+def _decode_block_aligned(words, total_bits, lut_sym, lut_len,
+                          max_len: int, n_out: int, bit_offsets):
+    sym_offsets = jnp.arange(bit_offsets.shape[0], dtype=jnp.int32) * CHUNK_SYMS
+    return huffman_decode_aligned(
+        words, total_bits, n_out, lut_sym, lut_len, max_len,
+        bit_offsets, sym_offsets,
+    )
+
+
+def compress_block(block: np.ndarray, max_len: int = DEFAULT_MAX_LEN,
+                   block_cap: int | None = None, aligned: bool = True) -> bytes:
+    """Compress one block (uint8) to a payload. `block_cap` fixes the
+    padded size so every block reuses one compiled program."""
+    n = block.shape[0]
+    cap = block_cap or n
+    assert n <= cap
+    freqs = np.bincount(block, minlength=256)
+    table = HuffmanTable.from_freqs(freqs, max_len)
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = block
+    out_words = -(-cap * max_len // 32)
+    nchunks = max(1, -(-cap // CHUNK_SYMS))
+    words, total_bits, chunk_offsets = _encode_block(
+        jnp.asarray(padded), jnp.int32(n),
+        jnp.asarray(table.codes), jnp.asarray(table.lengths),
+        out_words, nchunks,
+    )
+    total_bits = int(total_bits)
+    nw = -(-total_bits // 32)
+    words_np = np.asarray(words[:nw]).astype("<u4")
+    lens = np.asarray(table.lengths, np.uint8)
+    nibbles = (lens[0::2] | (lens[1::2] << 4)).tobytes()
+    mode = FLAG_ALIGNED if aligned else 0
+    payload = _BLOCK_HEAD.pack(n, total_bits, mode) + nibbles
+    if aligned:
+        used_chunks = max(1, -(-n // CHUNK_SYMS))
+        offs = np.asarray(chunk_offsets[:used_chunks]).astype("<u4")
+        payload += struct.pack("<I", used_chunks) + offs.tobytes()
+    payload += words_np.tobytes()
+    return payload
+
+
+def decompress_block(payload: bytes, max_len: int = DEFAULT_MAX_LEN,
+                     block_cap: int | None = None) -> np.ndarray:
+    n, total_bits, mode = _BLOCK_HEAD.unpack(payload[: _BLOCK_HEAD.size])
+    off = _BLOCK_HEAD.size
+    nib = np.frombuffer(payload[off: off + 128], np.uint8)
+    off += 128
+    lengths = np.zeros(256, np.int32)
+    lengths[0::2] = nib & 0xF
+    lengths[1::2] = nib >> 4
+    bit_offsets = None
+    if mode & FLAG_ALIGNED:
+        (nchunks,) = struct.unpack("<I", payload[off: off + 4])
+        off += 4
+        bit_offsets = np.frombuffer(
+            payload[off: off + 4 * nchunks], "<u4"
+        ).astype(np.int32)
+        off += 4 * nchunks
+    nw = -(-total_bits // 32)
+    words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
+    cap = block_cap or n
+    wcap = -(-cap * max_len // 32)
+    words_p = np.zeros(wcap, np.uint32)
+    words_p[:nw] = words
+    table = HuffmanTable.from_lengths(lengths, max_len)
+    if bit_offsets is not None:
+        ccap = max(1, -(-cap // CHUNK_SYMS))
+        offs_p = np.full(ccap, total_bits, np.int32)
+        offs_p[: bit_offsets.shape[0]] = bit_offsets
+        out = _decode_block_aligned(
+            jnp.asarray(words_p), jnp.int32(total_bits),
+            jnp.asarray(table.lut_sym), jnp.asarray(table.lut_len),
+            max_len, cap, jnp.asarray(offs_p),
+        )
+        return np.asarray(out[:n])
+    out, n_valid = _decode_block_selfsync(
+        jnp.asarray(words_p), jnp.int32(total_bits),
+        jnp.asarray(table.lut_sym), jnp.asarray(table.lut_len),
+        max_len, cap,
+    )
+    assert int(n_valid) >= n, "self-sync decode lost symbols"
+    return np.asarray(out[:n])
+
+
+def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
+             max_len: int = DEFAULT_MAX_LEN, aligned: bool = True) -> bytes:
+    arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.asarray(data, np.uint8)
+    n = arr.shape[0]
+    payloads = []
+    for start in range(0, max(n, 1), block_size):
+        block = arr[start: start + block_size]
+        payloads.append(
+            compress_block(block, max_len, block_cap=block_size, aligned=aligned)
+        )
+    c = Container(
+        codec_id=CODEC_HUFFMAN, flags=FLAG_ALIGNED if aligned else 0,
+        orig_len=n, block_size=block_size,
+        comp_sizes=[len(p) for p in payloads], payloads=payloads,
+        data_adler=adler32_np(arr),
+    )
+    return c.to_bytes()
+
+
+def decompress(buf: bytes, max_len: int = DEFAULT_MAX_LEN) -> bytes:
+    c = Container.from_bytes(buf)
+    assert c.codec_id == CODEC_HUFFMAN
+    parts = [
+        decompress_block(p, max_len, block_cap=c.block_size) for p in c.payloads
+    ]
+    out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
+    if not c.verify_data(np.frombuffer(out, np.uint8)):
+        raise ValueError("data checksum mismatch after decompress")
+    return out

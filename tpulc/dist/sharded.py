@@ -1,0 +1,138 @@
+"""shard_map'ed block-parallel codec steps.
+
+Maps the reference's host-thread block schedulers (bzip2 all-core OpenMP
+`compress.c:876-1006`, bsc block loop `bsc.cpp:206`, CULZSS ring
+`culzss.c:73`) onto a device mesh: each device owns a slice of the
+blocks; shared-dictionary mode builds one global histogram with `psum`
+and encodes every block with the broadcast table (BASELINE config 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# check_vma=False: all_gather/psum results are replicated by
+# construction; the static replication checker cannot always infer it.
+shard_map = partial(jax.shard_map, check_vma=False)
+
+from tpulc.dist.mesh import BLOCKS_AXIS
+from tpulc.primitives.bits import pack_bits
+
+
+def _masked_encode(block, n, codes, lengths, out_words: int):
+    idx = block.astype(jnp.int32)
+    valid = jnp.arange(block.shape[0], dtype=jnp.int32) < n
+    sym_lens = jnp.where(valid, lengths[idx], 0)
+    sym_codes = jnp.where(valid, codes[idx], 0).astype(jnp.uint32)
+    return pack_bits(sym_codes, sym_lens, out_words)
+
+
+def _masked_hist(block, n):
+    idx = jnp.where(
+        jnp.arange(block.shape[0], dtype=jnp.int32) < n,
+        block.astype(jnp.int32),
+        256,
+    )
+    return jnp.zeros((257,), jnp.int32).at[idx].add(1, mode="drop")[:256]
+
+
+def global_histogram(mesh: Mesh, blocks: jax.Array, ns: jax.Array) -> jax.Array:
+    """Global 256-bin histogram of sharded blocks via psum.
+
+    blocks: uint8[B, block_size] sharded over 'blocks'; ns: int32[B].
+    Returns a replicated int32[256] — the shared-dictionary histogram
+    that the host turns into one broadcast Huffman table.
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS_AXIS, None), P(BLOCKS_AXIS)),
+        out_specs=P(),
+    )
+    def step(local_blocks, local_ns):
+        h = jnp.sum(jax.vmap(_masked_hist)(local_blocks, local_ns), axis=0)
+        return jax.lax.psum(h, BLOCKS_AXIS)
+
+    return jax.jit(step)(blocks, ns)
+
+
+def sharded_huffman_encode(
+    mesh: Mesh,
+    blocks: jax.Array,
+    ns: jax.Array,
+    codes: jax.Array,
+    lengths: jax.Array,
+    out_words: int,
+):
+    """Encode all blocks with a shared (replicated) table.
+
+    Returns (words uint32[B, out_words] sharded, bits int32[B] replicated).
+    The all_gather of per-block bit counts is the offset-table collective
+    (SURVEY.md §5 'distributed communication backend').
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS_AXIS, None), P(BLOCKS_AXIS), P(None), P(None)),
+        out_specs=(P(BLOCKS_AXIS, None), P()),
+    )
+    def step(local_blocks, local_ns, codes_, lengths_):
+        words, bits = jax.vmap(
+            lambda b, n: _masked_encode(b, n, codes_, lengths_, out_words)
+        )(local_blocks, local_ns)
+        all_bits = jax.lax.all_gather(bits, BLOCKS_AXIS, tiled=True)
+        return words, all_bits
+
+    return jax.jit(step)(blocks, ns, codes, lengths)
+
+
+def sharded_huffman_roundtrip_step(mesh: Mesh, block_size: int, max_len: int = 12):
+    """Build the full jitted multi-chip step used by dryrun_multichip.
+
+    One step = per-block masked histogram -> psum global histogram ->
+    encode every block with a (replicated) table -> all_gather sizes.
+    The table itself is an input (host builds it from the histogram
+    between the two jitted stages in the real pipeline); here it is
+    exercised in a single program to validate shardings end to end.
+    """
+    out_words = -(-block_size * max_len // 32)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS_AXIS, None), P(BLOCKS_AXIS), P(None), P(None)),
+        out_specs=(P(), P(BLOCKS_AXIS, None), P()),
+    )
+    def step(local_blocks, local_ns, codes_, lengths_):
+        h = jnp.sum(jax.vmap(_masked_hist)(local_blocks, local_ns), axis=0)
+        ghist = jax.lax.psum(h, BLOCKS_AXIS)
+        words, bits = jax.vmap(
+            lambda b, n: _masked_encode(b, n, codes_, lengths_, out_words)
+        )(local_blocks, local_ns)
+        all_bits = jax.lax.all_gather(bits, BLOCKS_AXIS, tiled=True)
+        return ghist, words, all_bits
+
+    def make_args(n_blocks: int, rng_seed: int = 0):
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        blocks = rng.integers(0, 256, size=(n_blocks, block_size)).astype(np.uint8)
+        ns = np.full((n_blocks,), block_size, np.int32)
+        # trivial valid table: 8-bit flat code
+        codes = np.arange(256, dtype=np.uint32)
+        lengths = np.full((256,), 8, np.int32)
+        sharding = NamedSharding(mesh, P(BLOCKS_AXIS, None))
+        return (
+            jax.device_put(blocks, sharding),
+            jax.device_put(ns, NamedSharding(mesh, P(BLOCKS_AXIS))),
+            jax.device_put(codes, NamedSharding(mesh, P())),
+            jax.device_put(lengths.astype(np.int32), NamedSharding(mesh, P())),
+        )
+
+    return jax.jit(step), make_args

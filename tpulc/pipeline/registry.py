@@ -1,0 +1,51 @@
+"""Codec registry: maps codec names/ids to compress/decompress drivers.
+
+The analogue of cudpp's typed plan/config dispatch
+(`CUDPPConfiguration` -> plan factory, `cudpp_plan.cpp:826`,
+`cudpp.cpp:764-800`): a codec id selects a driver whose jitted
+functions are cached per (block_size, options) — the "plan" is JAX's
+own compilation cache keyed on static shapes.
+"""
+
+from __future__ import annotations
+
+CODEC_STORE = 0        # raw block store (incompressible fallback)
+CODEC_HUFFMAN = 1      # canonical Huffman, self-sync or aligned decode
+CODEC_LZSS = 2         # Dipperstein 12/4 bitstream LZSS
+CODEC_LZSS_CULZSS = 3  # CULZSS flag-byte 8/8 packet format
+CODEC_BZ = 4           # BWT -> MTF -> RLE2 -> Huffman (bzip2-class)
+CODEC_BSC = 5          # large-block LZP + QLFC-rank + rANS (bsc-class)
+
+_NAMES = {
+    "store": CODEC_STORE,
+    "huffman": CODEC_HUFFMAN,
+    "lzss": CODEC_LZSS,
+    "culzss": CODEC_LZSS_CULZSS,
+    "bz": CODEC_BZ,
+    "bsc": CODEC_BSC,
+}
+
+
+def available_codecs() -> dict[str, int]:
+    return dict(_NAMES)
+
+
+def get_codec(name_or_id: str | int):
+    """Resolve a codec driver module lazily by name or id."""
+    if isinstance(name_or_id, str):
+        cid = _NAMES[name_or_id]
+    else:
+        cid = name_or_id
+    if cid == CODEC_HUFFMAN:
+        from tpulc.codecs.huffman import driver
+        return driver
+    if cid == CODEC_STORE:
+        from tpulc.codecs import store as driver
+        return driver
+    if cid == CODEC_LZSS:
+        from tpulc.codecs.lzss import driver
+        return driver
+    if cid == CODEC_BZ:
+        from tpulc.codecs.bwt import driver
+        return driver
+    raise KeyError(f"unknown codec {name_or_id!r}")

@@ -1,0 +1,123 @@
+"""Bit-granular packing/unpacking as data-parallel JAX ops.
+
+The reference packs variable-length codes with per-thread serial loops
+plus `atomicOr` into shared/global words (cudpp `huffman_kernel_en`,
+`compress_kernel.cuh:2525-2716`; Dipperstein `bitfile.c`).  On TPU there
+are no atomics in the XLA programming model and serial bit loops waste
+the VPU, so packing is reformulated as:
+
+    1. exclusive prefix-sum of the per-item bit lengths -> bit offsets,
+    2. each item contributes to at most two 32-bit words (shift/mask),
+    3. two disjoint-bit scatter-adds build the output words.
+
+Because every item's bit range is disjoint, integer `add` == bitwise
+`or`, so plain scatter-add works and no atomicity is needed at all.
+
+Bit order convention (the whole framework uses it): MSB-first within a
+32-bit unit, units in increasing order — the same convention as the
+CUHD decoder's bit windows (`cuhd_gpu_decoder.cu:16-143`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+
+
+def exclusive_cumsum(x: jax.Array) -> jax.Array:
+    """Exclusive prefix sum along the last axis (same dtype as x)."""
+    c = jnp.cumsum(x, axis=-1)
+    return c - x
+
+
+def pack_bits(codes: jax.Array, lengths: jax.Array, out_words: int):
+    """Pack variable-length codes into a dense MSB-first bitstream.
+
+    Args:
+      codes: uint32[N] — each code right-aligned in the low `lengths[i]`
+        bits (value < 2**lengths[i]).
+      lengths: int32[N] — bit length per code, in [0, 32]. Zero-length
+        items contribute nothing.
+      out_words: static output size in 32-bit words. Must satisfy
+        ``out_words*32 >= sum(lengths)``; callers size it from the max
+        possible code length.
+
+    Returns:
+      (words, total_bits): uint32[out_words] dense stream, int32 scalar
+      number of valid bits.
+    """
+    codes = codes.astype(_U32)
+    lengths = lengths.astype(jnp.int32)
+    off = exclusive_cumsum(lengths)
+    total_bits = (off[-1] + lengths[-1]) if codes.shape[0] > 0 else jnp.int32(0)
+
+    word = (off >> 5).astype(jnp.int32)
+    bit = (off & 31).astype(jnp.int32)
+    # Field occupies bits [bit, bit+len) of word `word` (MSB-first);
+    # spill into word+1 when bit+len > 32.
+    shift = 32 - bit - lengths                      # may be negative
+    pos_shift = jnp.clip(shift, 0, 31).astype(_U32)
+    neg_shift = jnp.clip(-shift, 0, 31).astype(_U32)
+    lo = jnp.where(shift >= 0, codes << pos_shift, codes >> neg_shift)
+    spill_shift = jnp.clip(32 + shift, 0, 31).astype(_U32)
+    hi = jnp.where(shift < 0, codes << spill_shift, _U32(0))
+    # Mask empty items entirely.
+    nonzero = lengths > 0
+    lo = jnp.where(nonzero, lo, _U32(0))
+    hi = jnp.where(nonzero, hi, _U32(0))
+
+    words = jnp.zeros((out_words,), dtype=_U32)
+    words = words.at[word].add(lo, mode="drop")
+    words = words.at[word + 1].add(hi, mode="drop")
+    return words, total_bits
+
+
+def peek_bits(words: jax.Array, bitpos: jax.Array, width: int) -> jax.Array:
+    """Read `width` (static, 1..32) bits at absolute MSB-first bit positions.
+
+    `words` must have at least one padding word beyond the last bit read
+    (the CUHD input buffer does the same +1-unit pad,
+    `cuhd-icpp/src/cuhd_input_buffer.cc:17`).
+
+    Returns uint32 values right-aligned in the low `width` bits.
+    """
+    w = (bitpos >> 5).astype(jnp.int32)
+    b = (bitpos & 31).astype(_U32)
+    hi = words[w]
+    lo = words[w + 1]
+    # Align the field so it starts at the MSB of a 32-bit register.
+    lo_shift = jnp.clip(32 - b.astype(jnp.int32), 0, 31).astype(_U32)
+    merged = (hi << b) | jnp.where(b > 0, lo >> lo_shift, _U32(0))
+    return merged >> _U32(32 - width)
+
+
+def bitreverse_u32(x: jax.Array, width: int) -> jax.Array:
+    """Reverse the low `width` bits of each uint32 element."""
+    x = x.astype(_U32)
+    m1, m2, m4 = _U32(0x55555555), _U32(0x33333333), _U32(0x0F0F0F0F)
+    x = ((x >> 1) & m1) | ((x & m1) << 1)
+    x = ((x >> 2) & m2) | ((x & m2) << 2)
+    x = ((x >> 4) & m4) | ((x & m4) << 4)
+    x = ((x >> 8) & _U32(0x00FF00FF)) | ((x & _U32(0x00FF00FF)) << 8)
+    x = (x >> 16) | (x << 16)
+    return x >> _U32(32 - width)
+
+
+def bytes_to_words_msb(data: jax.Array, out_words: int | None = None) -> jax.Array:
+    """uint8[N] -> uint32 words, MSB-first (big-endian within a word)."""
+    n = data.shape[0]
+    nw = (n + 3) // 4 if out_words is None else out_words
+    padded = jnp.zeros((nw * 4,), jnp.uint8).at[:n].set(data)
+    b = padded.reshape(nw, 4).astype(_U32)
+    return (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+
+
+def words_msb_to_bytes(words: jax.Array, n: int) -> jax.Array:
+    """uint32 words (MSB-first) -> uint8[n]."""
+    w = words.astype(_U32)
+    b = jnp.stack(
+        [(w >> 24) & 0xFF, (w >> 16) & 0xFF, (w >> 8) & 0xFF, w & 0xFF], axis=1
+    ).reshape(-1)
+    return b[:n].astype(jnp.uint8)
