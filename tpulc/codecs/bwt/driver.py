@@ -1,0 +1,180 @@
+"""bz codec driver: BWT -> MTF -> RLE2 -> canonical Huffman per block.
+
+The tpulc equivalent of `cudppCompress`'s device-resident pipeline
+(`compress_app.cu:507-526`: BWT, MTF, Huffman) extended with bzip2's
+zero-run stage (`compress.c:123-240`), in tpulc's own container (the
+bit-exact `.bz2` emitter is a separate codec).  The whole forward
+transform chain runs as one jitted program per block; only the table
+build (256-entry package-merge, microseconds) sits on host between the
+transform and entropy stages.
+
+Per-block payload (little-endian):
+
+    n           u32   raw bytes in this block (<= cap, zero-padded)
+    m           u32   RLE2 symbol count
+    idx0        u32   BWT primary index
+    total_bits  u32   entropy-stream bits
+    mode        u8    reserved (aligned offsets always present)
+    lengths     129B  257 code lengths, nibble-packed
+    nchunks     u32
+    offsets     u32 * nchunks   bit offset of each 256-symbol chunk
+    words       4B * ceil(total_bits/32)
+"""
+
+from __future__ import annotations
+
+import struct
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpulc.codecs.bwt.rle import ALPHABET, rle2_decode, rle2_encode
+from tpulc.codecs.bwt.rotsort import bwt_decode, bwt_encode
+from tpulc.codecs.huffman.decode import huffman_decode_aligned
+from tpulc.codecs.huffman.tables import HuffmanTable
+from tpulc.pipeline.container import Container
+from tpulc.pipeline.registry import CODEC_BZ
+from tpulc.primitives.bits import pack_bits
+from tpulc.primitives.checksum import adler32_np
+from tpulc.primitives.mtf import mtf_encode, mtf_decode
+
+MAX_LEN = 15
+CHUNK_SYMS = 256
+_BLOCK_HEAD = struct.Struct("<IIIIB")
+_NIBBLES = (ALPHABET + 1) // 2 + ((ALPHABET + 1) % 2)  # 129 bytes
+
+
+def _cap_for(block_size: int) -> int:
+    return -(-block_size // 64) * 64  # MTF chunk multiple
+
+
+@jax.jit
+def _forward(block):
+    """block uint8[cap] -> (syms int32[cap], m, idx0, hist int32[257])."""
+    last, idx0 = bwt_encode(block)
+    ranks = mtf_encode(last)
+    syms, m = rle2_encode(ranks)
+    cap = block.shape[0]
+    masked = jnp.where(jnp.arange(cap, dtype=jnp.int32) < m, syms, ALPHABET)
+    hist = jnp.zeros((ALPHABET + 1,), jnp.int32).at[masked].add(
+        1, mode="drop"
+    )[:ALPHABET]
+    return syms, m, idx0, hist
+
+
+@partial(jax.jit, static_argnames=("out_words", "nchunks"))
+def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
+    cap = syms.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < m
+    sym_lens = jnp.where(valid, lengths[syms], 0)
+    sym_codes = jnp.where(valid, codes[syms], 0).astype(jnp.uint32)
+    words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
+    off = jnp.cumsum(sym_lens) - sym_lens
+    chunk_offsets = off[::CHUNK_SYMS][:nchunks].astype(jnp.int32)
+    chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < m
+    chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
+    return words, total_bits, chunk_offsets
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _inverse(words, total_bits, m, idx0, lut_sym, lut_len, offs, cap: int):
+    sym_offsets = jnp.arange(offs.shape[0], dtype=jnp.int32) * CHUNK_SYMS
+    syms = huffman_decode_aligned(
+        words, total_bits, cap, lut_sym, lut_len, MAX_LEN,
+        offs, sym_offsets, out_dtype=jnp.int32,
+    )
+    ranks, _ = rle2_decode(syms, m)
+    last = mtf_decode(ranks)
+    return bwt_decode(last, idx0)
+
+
+def compress_block(block: np.ndarray, block_cap: int) -> bytes:
+    n = block.shape[0]
+    cap = _cap_for(block_cap)
+    assert n <= cap
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = block
+    syms, m, idx0, hist = _forward(jnp.asarray(padded))
+    table = HuffmanTable.from_freqs(np.asarray(hist), MAX_LEN)
+    out_words = -(-cap * MAX_LEN // 32)
+    nchunks = max(1, -(-cap // CHUNK_SYMS))
+    words, total_bits, chunk_offsets = _entropy(
+        syms, m, jnp.asarray(table.codes), jnp.asarray(table.lengths),
+        out_words, nchunks,
+    )
+    m, idx0, total_bits = int(m), int(idx0), int(total_bits)
+    nw = -(-total_bits // 32)
+    lens = np.asarray(table.lengths, np.uint8)
+    lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
+    lens_pad[:ALPHABET] = lens
+    nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
+    used_chunks = max(1, -(-m // CHUNK_SYMS))
+    offs = np.asarray(chunk_offsets[:used_chunks]).astype("<u4")
+    payload = _BLOCK_HEAD.pack(n, m, idx0, total_bits, 0) + nibbles
+    payload += struct.pack("<I", used_chunks) + offs.tobytes()
+    payload += np.asarray(words[:nw]).astype("<u4").tobytes()
+    return payload
+
+
+def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
+    n, m, idx0, total_bits, _mode = _BLOCK_HEAD.unpack(
+        payload[: _BLOCK_HEAD.size]
+    )
+    off = _BLOCK_HEAD.size
+    nib = np.frombuffer(payload[off: off + _NIBBLES], np.uint8)
+    off += _NIBBLES
+    lengths = np.zeros(_NIBBLES * 2, np.int32)
+    lengths[0::2] = nib & 0xF
+    lengths[1::2] = nib >> 4
+    lengths = lengths[:ALPHABET]
+    (nchunks,) = struct.unpack("<I", payload[off: off + 4])
+    off += 4
+    bit_offsets = np.frombuffer(payload[off: off + 4 * nchunks], "<u4").astype(
+        np.int32
+    )
+    off += 4 * nchunks
+    nw = -(-total_bits // 32)
+    words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
+    cap = _cap_for(block_cap)
+    wcap = -(-cap * MAX_LEN // 32)
+    words_p = np.zeros(wcap, np.uint32)
+    words_p[:nw] = words
+    ccap = max(1, -(-cap // CHUNK_SYMS))
+    offs_p = np.full(ccap, total_bits, np.int32)
+    offs_p[:nchunks] = bit_offsets
+    table = HuffmanTable.from_lengths(lengths, MAX_LEN)
+    block = _inverse(
+        jnp.asarray(words_p), jnp.int32(total_bits), jnp.int32(m),
+        jnp.int32(idx0), jnp.asarray(table.lut_sym),
+        jnp.asarray(table.lut_len), jnp.asarray(offs_p), cap,
+    )
+    return np.asarray(block[:n])
+
+
+def compress(data: bytes | np.ndarray, block_size: int = 900_000) -> bytes:
+    arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.asarray(data, np.uint8)
+    n = arr.shape[0]
+    payloads = []
+    for start in range(0, max(n, 1), block_size):
+        payloads.append(
+            compress_block(arr[start: start + block_size], block_size)
+        )
+    c = Container(
+        codec_id=CODEC_BZ, flags=0, orig_len=n, block_size=block_size,
+        comp_sizes=[len(p) for p in payloads], payloads=payloads,
+        data_adler=adler32_np(arr),
+    )
+    return c.to_bytes()
+
+
+def decompress(buf: bytes) -> bytes:
+    c = Container.from_bytes(buf)
+    assert c.codec_id == CODEC_BZ
+    parts = [decompress_block(p, c.block_size) for p in c.payloads]
+    out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
+    if not c.verify_data(np.frombuffer(out, np.uint8)):
+        raise ValueError("data checksum mismatch after decompress")
+    return out

@@ -1,0 +1,136 @@
+"""bzip2-style zero-run coding (RUNA/RUNB) as data-parallel scans.
+
+bzip2's `generateMTFValues` (`cuda-bzip2-ipdpsw/compress.c:123-240`)
+replaces runs of MTF-rank zeros with bijective base-2 digits RUNA/RUNB
+serially.  Both directions are scans on TPU:
+
+encode: zero-run starts/lengths via max/min scans; a run of L zeros
+  emits k = floor(log2(L+1)) digits, digit i = bit i of (L+1) (LSB
+  first, 0->RUNA, 1->RUNB); output placement via exclusive cumsum of
+  per-position emission counts + k bounded scatter passes.
+
+decode: run-group membership via scans; L = segment-sum of
+  (digit+1)<<i recovers the zero count; literals scatter at cumsum
+  offsets into a zero-initialized output, so zero expansion is free.
+
+Alphabet: 0 = RUNA, 1 = RUNB, nonzero MTF rank r -> symbol r+1
+(2..256); 257-symbol Huffman alphabet, no explicit EOB (the container
+stores symbol counts instead of bzip2's EOB sentinel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+RUNA = 0
+RUNB = 1
+ALPHABET = 257  # 2 run symbols + ranks 1..255 shifted to 2..256
+
+
+@jax.jit
+def rle2_encode(ranks: jax.Array):
+    """uint8[n] MTF ranks -> (symbols int32[n], m int32 valid count).
+
+    Output never exceeds input length (k digits <= L zeros; literals 1:1).
+    """
+    n = ranks.shape[0]
+    r = ranks.astype(jnp.int32)
+    i = jnp.arange(n, dtype=jnp.int32)
+    z = r == 0
+
+    # Start of each zero run, and its length.
+    prev_nz = jax.lax.associative_scan(jnp.maximum, jnp.where(z, -1, i))
+    is_run_start = z & (i == prev_nz + 1)
+    # next nonzero at/after each position (reverse min-scan)
+    next_nz = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(z, n, i), reverse=True
+    )
+    L = jnp.where(is_run_start, next_nz - i, 0)  # zeros in the run
+
+    # digits per run: k = floor(log2(L+1));  emission count per position
+    M = L + 1
+    k = jnp.where(is_run_start, jnp.int32(31) - jnp.int32(jax.lax.clz(M.astype(jnp.uint32)).astype(jnp.int32)), 0)
+    emit = jnp.where(z, jnp.where(is_run_start, k, 0), 1)
+    off = jnp.cumsum(emit) - emit
+    m = off[-1] + emit[-1] if n else jnp.int32(0)
+
+    out = jnp.zeros((n,), jnp.int32)
+    # literals
+    lit_tgt = jnp.where(~z, off, n)
+    out = out.at[lit_tgt].set(r + 1, mode="drop")
+    # run digits: bounded passes over digit index
+    max_digits = max(1, int(n).bit_length())
+    for j in range(max_digits):
+        has = is_run_start & (k > j)
+        digit = (M >> j) & 1  # 0 -> RUNA, 1 -> RUNB
+        tgt = jnp.where(has, off + j, n)
+        out = out.at[tgt].set(digit, mode="drop")
+    return out, m
+
+
+@jax.jit
+def rle2_decode(symbols: jax.Array, m: jax.Array):
+    """int32[cap] symbols (valid prefix m) -> (ranks uint8[cap], n int32).
+
+    cap bounds the decoded length (a valid stream never expands past the
+    encoder's input length, which the container records).
+    """
+    cap = symbols.shape[0]
+    i = jnp.arange(cap, dtype=jnp.int32)
+    valid = i < m
+    s = jnp.where(valid, symbols, 2)  # pad as literals (ignored via valid)
+    isrun = valid & (s <= 1)
+
+    # group start = run symbol whose predecessor is not a run symbol
+    prev_lit = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(isrun, -1, i)
+    )
+    gstart = prev_lit + 1          # start index of my run group (if isrun)
+    pos_in_group = i - gstart      # digit index (LSB first)
+    contrib = jnp.where(isrun, (s + 1) << jnp.clip(pos_in_group, 0, 30), 0)
+    # zeros emitted by each group, summed at the group-start position
+    gid = jnp.where(isrun, gstart, cap)
+    L_at_start = jnp.zeros((cap + 1,), jnp.int32).at[gid].add(
+        contrib, mode="drop"
+    )[:cap]
+
+    is_gstart = isrun & (pos_in_group == 0)
+    out_len = jnp.where(
+        valid & is_gstart, L_at_start, jnp.where(valid & ~isrun, 1, 0)
+    )
+    off = jnp.cumsum(out_len) - out_len
+    n = off[-1] + out_len[-1] if cap else jnp.int32(0)
+
+    out = jnp.zeros((cap,), jnp.uint8)
+    lit = valid & (s >= 2)
+    tgt = jnp.where(lit, off, cap)
+    out = out.at[tgt].set((s - 1).astype(jnp.uint8), mode="drop")
+    return out, n
+
+
+def rle2_encode_np(ranks):
+    """Serial gold mirroring bzip2's RUNA/RUNB emission."""
+    import numpy as np
+
+    out = []
+    run = 0
+
+    def flush(run):
+        while run > 0:
+            if run & 1:
+                out.append(RUNA)
+                run = (run - 1) // 2
+            else:
+                out.append(RUNB)
+                run = (run - 2) // 2
+
+    for v in np.asarray(ranks):
+        if v == 0:
+            run += 1
+        else:
+            flush(run)
+            run = 0
+            out.append(int(v) + 1)
+    flush(run)
+    return np.array(out, np.int32)

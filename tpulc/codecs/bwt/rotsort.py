@@ -1,0 +1,124 @@
+"""Rotation-sort BWT by prefix doubling; inverse by pointer doubling.
+
+Forward — the bzip2-family BWT sorts all n cyclic rotations
+(`cuda-bzip2-ipdpsw/blocksort.c`, GPU variant `gpuBWTSort.cu:202-480`
+doubles a 2/3 sample then merges on the CPU).  The TPU version prefix-
+doubles over *all* rotations directly: rank vectors refine through
+log2(n) stable two-key sorts (`lax.sort`), with wraparound indexing
+giving rotation (not suffix) order for free.  No host merge, no
+recursion, fixed-shape loop state — a `lax.while_loop` exits early once
+ranks are unique (typical for real data well before log2(n) rounds).
+
+Inverse — the serial LF walk (`decompress.c`, `bwt.cpp:359`) is a
+cyclic linked-list traversal, inherently sequential.  Here it becomes
+pointer doubling: log2(n) rounds of jump composition compute every
+position's distance to the primary index, which IS its output position
+(modulo the cycle length — periodic inputs make the LF permutation
+multi-cyclic, and the modulo handles exactly that case; libbsc's
+restart-index parallel unbwt, `bwt.cpp:359`, solves the same problem
+with stored metadata, which this formulation does not need).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def bwt_encode(data: jax.Array):
+    """BWT of uint8[n] -> (last column uint8[n], primary index int32).
+
+    Ties between equal rotations (periodic inputs) resolve by original
+    position, which the inverse's cycle arithmetic accommodates.
+    """
+    n = data.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # Densify initial ranks to 0..n-1 (the loop's uniqueness exit test
+    # compares against n-1, so raw byte values would terminate early).
+    byte = data.astype(jnp.int32)
+    _, order0 = jax.lax.sort((byte, idx), num_keys=1, is_stable=True)
+    b_sorted = byte[order0]
+    grp0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
+    )
+    rank0 = jnp.zeros((n,), jnp.int32).at[order0].set(jnp.cumsum(grp0))
+
+    def cond(state):
+        rank, k = state
+        return (k < n) & (jnp.max(rank) < n - 1)
+
+    def body(state):
+        rank, k = state
+        key2 = rank[(idx + k) % n]
+        _, _, order = jax.lax.sort((rank, key2, idx), num_keys=2, is_stable=True)
+        r1 = rank[order]
+        r2 = key2[order]
+        newgrp = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
+            ]
+        )
+        rank_sorted = jnp.cumsum(newgrp)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+        return rank, k * 2
+
+    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(1)))
+    # Final order: by rank, ties by original position (stable).
+    _, order = jax.lax.sort((rank, idx), num_keys=1, is_stable=True)
+    last = data[(order - 1) % n]
+    idx0 = jnp.argmax(order == 0).astype(jnp.int32)
+    return last, idx0
+
+
+@jax.jit
+def bwt_decode(last: jax.Array, idx0: jax.Array) -> jax.Array:
+    """Inverse BWT of uint8[n] + primary index -> uint8[n]."""
+    n = last.shape[0]
+    sym = last.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # LF map: T[j] = C[L[j]] + occ(L[j], j).  occ via stable sort of
+    # (symbol, position): position j is the (rank-in-sorted)'th
+    # occurrence overall, which equals C[L[j]] + occ directly.
+    _, order = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
+    T = jnp.zeros((n,), jnp.int32).at[order].set(idx)
+
+    # Pointer doubling: d[i] = steps from i to idx0 along T
+    # (d[idx0] = its cycle length p).
+    rounds = max(1, (n - 1).bit_length())
+    ptr0 = T
+    d0 = jnp.ones((n,), jnp.int32)
+
+    def round_body(_, state):
+        ptr, d = state
+        live = ptr != idx0
+        d = jnp.where(live, d + d[ptr], d)
+        ptr = jnp.where(live, ptr[ptr], ptr)
+        return ptr, d
+
+    ptr, d = jax.lax.fori_loop(0, rounds, round_body, (ptr0, d0))
+    in_cycle = ptr == idx0
+    p = d[idx0]  # cycle length through idx0 (== n unless input periodic)
+
+    # Backward-walk convention: out[n-1-k] = L[T^k(idx0)], and node i is
+    # visited at k == (p - d[i]) mod p.  So out[j] = cyc[(n-1-j) mod p].
+    slot = jnp.where(in_cycle, (p - d) % p, n)
+    cyc = jnp.zeros((n,), jnp.uint8).at[slot].set(last, mode="drop")
+    j = jnp.arange(n, dtype=jnp.int32)
+    return cyc[(n - 1 - j) % p]
+
+
+def bwt_encode_np(data):
+    """Numpy gold: naive rotation sort (cudpp `computeBwtGold` pattern,
+    `test_compress.cpp:79`)."""
+    import numpy as np
+
+    arr = np.asarray(data, np.uint8)
+    n = len(arr)
+    doubled = np.concatenate([arr, arr])
+    rots = sorted(range(n), key=lambda i: tuple(doubled[i: i + n]))
+    last = np.array([arr[(r - 1) % n] for r in rots], np.uint8)
+    return last, rots.index(0)

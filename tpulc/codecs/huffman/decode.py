@@ -93,6 +93,7 @@ def huffman_decode(
     lut_len: jax.Array,
     max_len: int,
     sub_bits: int = DEFAULT_SUB_BITS,
+    out_dtype=jnp.uint8,
 ):
     """Self-synchronizing parallel decode (no partition metadata needed).
 
@@ -123,14 +124,14 @@ def huffman_decode(
 
     out = _decode_write(
         words_p, total_bits, n_out, lut_sym, lut_len, max_len, sub_bits,
-        entry, offset,
+        entry, offset, out_dtype,
     )
     return out, n_valid
 
 
 def _decode_write(
     words_p, total_bits, n_out, lut_sym, lut_len, max_len, sub_bits,
-    entry, offset,
+    entry, offset, out_dtype=jnp.uint8,
 ):
     """Phase 4: single decode pass writing symbols at known offsets."""
     nsub = entry.shape[0]
@@ -138,7 +139,7 @@ def _decode_write(
     sub_start = jnp.arange(nsub, dtype=jnp.int32) * sub_bits
     end = sub_start + sub_bits
     pos0 = sub_start + entry
-    out0 = jnp.zeros((n_out,), jnp.uint8)
+    out0 = jnp.zeros((n_out,), out_dtype)
 
     def cond(state):
         pos, _, _ = state
@@ -150,7 +151,7 @@ def _decode_write(
         win = peek_bits(words_p, pos, L).astype(jnp.int32)
         step = lut_len[win].astype(jnp.int32)
         step = jnp.where(step == 0, 1, step)
-        sym = lut_sym[win].astype(jnp.uint8)
+        sym = lut_sym[win].astype(out0.dtype)
         tgt = jnp.where(active, oidx, n_out)
         out = out.at[tgt].set(sym, mode="drop")
         pos = pos + jnp.where(active, step, 0)
@@ -171,6 +172,7 @@ def huffman_decode_aligned(
     chunk_bit_offsets: jax.Array,
     chunk_sym_offsets: jax.Array,
     sub_bits: int = DEFAULT_SUB_BITS,
+    out_dtype=jnp.uint8,
 ):
     """Fast-path decode when the container carries per-chunk offsets.
 
@@ -188,7 +190,7 @@ def huffman_decode_aligned(
     )
     L = max_len
     pos0 = chunk_bit_offsets
-    out0 = jnp.zeros((n_out,), jnp.uint8)
+    out0 = jnp.zeros((n_out,), out_dtype)
 
     def cond(state):
         pos, _, _ = state
@@ -200,7 +202,7 @@ def huffman_decode_aligned(
         win = peek_bits(words_p, pos, L).astype(jnp.int32)
         step = lut_len[win].astype(jnp.int32)
         step = jnp.where(step == 0, 1, step)
-        sym = lut_sym[win].astype(jnp.uint8)
+        sym = lut_sym[win].astype(out0.dtype)
         tgt = jnp.where(active, oidx, n_out)
         out = out.at[tgt].set(sym, mode="drop")
         pos = pos + jnp.where(active, step, 0)
