@@ -153,15 +153,74 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     return np.asarray(block[:n])
 
 
+# Batched (vmapped) pipeline: all blocks of a batch run as ONE device
+# program each way — the TPU analogue of bzip2's all-core block
+# scheduler (`compress.c:876-1006`), with XLA batching instead of a
+# work queue.  Tunnel/dispatch overhead amortizes across the batch.
+_forward_batch = jax.jit(jax.vmap(_forward))
+_entropy_batch = jax.jit(
+    jax.vmap(_entropy, in_axes=(0, 0, 0, 0, None, None)),
+    static_argnums=(4, 5),
+)
+_inverse_batch = jax.jit(
+    jax.vmap(_inverse, in_axes=(0, 0, 0, 0, 0, 0, 0, None)),
+    static_argnums=(7,),
+)
+
+MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
+
+
+def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
+    """blocks uint8[B, cap] (zero-padded), ns true sizes -> payloads."""
+    B, cap = blocks.shape
+    syms, ms, idx0s, hists = _forward_batch(jnp.asarray(blocks))
+    hists = np.asarray(hists)
+    tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
+    codes = jnp.asarray(np.stack([t.codes for t in tables]))
+    lengths = jnp.asarray(np.stack([t.lengths for t in tables]))
+    out_words = -(-cap * MAX_LEN // 32)
+    nchunks = max(1, -(-cap // CHUNK_SYMS))
+    words, total_bits, chunk_offsets = _entropy_batch(
+        syms, ms, codes, lengths, out_words, nchunks
+    )
+    ms = np.asarray(ms)
+    idx0s = np.asarray(idx0s)
+    total_bits = np.asarray(total_bits)
+    chunk_offsets = np.asarray(chunk_offsets)
+    words = np.asarray(words)
+    payloads = []
+    for b in range(B):
+        m, idx0, tb = int(ms[b]), int(idx0s[b]), int(total_bits[b])
+        nw = -(-tb // 32)
+        lens = np.asarray(tables[b].lengths, np.uint8)
+        lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
+        lens_pad[:ALPHABET] = lens
+        nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
+        used_chunks = max(1, -(-m // CHUNK_SYMS))
+        offs = chunk_offsets[b, :used_chunks].astype("<u4")
+        payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, 0) + nibbles
+        payload += struct.pack("<I", used_chunks) + offs.tobytes()
+        payload += words[b, :nw].astype("<u4").tobytes()
+        payloads.append(payload)
+    return payloads
+
+
 def compress(data: bytes | np.ndarray, block_size: int = 900_000) -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n = arr.shape[0]
+    cap = _cap_for(block_size)
+    starts = list(range(0, max(n, 1), block_size))
     payloads = []
-    for start in range(0, max(n, 1), block_size):
-        payloads.append(
-            compress_block(arr[start: start + block_size], block_size)
-        )
+    for i in range(0, len(starts), MAX_BATCH):
+        group = starts[i: i + MAX_BATCH]
+        blocks = np.zeros((len(group), cap), np.uint8)
+        ns = []
+        for j, s in enumerate(group):
+            chunk = arr[s: s + block_size]
+            blocks[j, : chunk.shape[0]] = chunk
+            ns.append(chunk.shape[0])
+        payloads.extend(_encode_payloads(blocks, ns))
     c = Container(
         codec_id=CODEC_BZ, flags=0, orig_len=n, block_size=block_size,
         comp_sizes=[len(p) for p in payloads], payloads=payloads,
@@ -170,10 +229,63 @@ def compress(data: bytes | np.ndarray, block_size: int = 900_000) -> bytes:
     return c.to_bytes()
 
 
+def _parse_payload(payload: bytes):
+    n, m, idx0, total_bits, _mode = _BLOCK_HEAD.unpack(
+        payload[: _BLOCK_HEAD.size]
+    )
+    off = _BLOCK_HEAD.size
+    nib = np.frombuffer(payload[off: off + _NIBBLES], np.uint8)
+    off += _NIBBLES
+    lengths = np.zeros(_NIBBLES * 2, np.int32)
+    lengths[0::2] = nib & 0xF
+    lengths[1::2] = nib >> 4
+    (nchunks,) = struct.unpack("<I", payload[off: off + 4])
+    off += 4
+    bit_offsets = np.frombuffer(payload[off: off + 4 * nchunks], "<u4").astype(
+        np.int32
+    )
+    off += 4 * nchunks
+    nw = -(-total_bits // 32)
+    words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
+    return n, m, idx0, total_bits, lengths[:ALPHABET], bit_offsets, words
+
+
 def decompress(buf: bytes) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_BZ
-    parts = [decompress_block(p, c.block_size) for p in c.payloads]
+    cap = _cap_for(c.block_size)
+    wcap = -(-cap * MAX_LEN // 32)
+    ccap = max(1, -(-cap // CHUNK_SYMS))
+    parts = []
+    for i in range(0, len(c.payloads), MAX_BATCH):
+        group = c.payloads[i: i + MAX_BATCH]
+        B = len(group)
+        words_b = np.zeros((B, wcap), np.uint32)
+        offs_b = np.zeros((B, ccap), np.int32)
+        tb_b = np.zeros((B,), np.int32)
+        m_b = np.zeros((B,), np.int32)
+        idx0_b = np.zeros((B,), np.int32)
+        ns = []
+        luts_s, luts_l = [], []
+        for j, payload in enumerate(group):
+            n, m, idx0, tb, lengths, bit_offsets, words = _parse_payload(
+                payload
+            )
+            ns.append(n)
+            words_b[j, : words.shape[0]] = words
+            offs_b[j] = tb
+            offs_b[j, : bit_offsets.shape[0]] = bit_offsets
+            tb_b[j], m_b[j], idx0_b[j] = tb, m, idx0
+            table = HuffmanTable.from_lengths(lengths, MAX_LEN)
+            luts_s.append(table.lut_sym)
+            luts_l.append(table.lut_len)
+        blocks = _inverse_batch(
+            jnp.asarray(words_b), jnp.asarray(tb_b), jnp.asarray(m_b),
+            jnp.asarray(idx0_b), jnp.asarray(np.stack(luts_s)),
+            jnp.asarray(np.stack(luts_l)), jnp.asarray(offs_b), cap,
+        )
+        blocks = np.asarray(blocks)
+        parts.extend(blocks[j, : ns[j]] for j in range(B))
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")

@@ -55,17 +55,29 @@ def rle2_encode(ranks: jax.Array):
     off = jnp.cumsum(emit) - emit
     m = off[-1] + emit[-1] if n else jnp.int32(0)
 
-    out = jnp.zeros((n,), jnp.int32)
-    # literals
-    lit_tgt = jnp.where(~z, off, n)
-    out = out.at[lit_tgt].set(r + 1, mode="drop")
-    # run digits: bounded passes over digit index
-    max_digits = max(1, int(n).bit_length())
-    for j in range(max_digits):
-        has = is_run_start & (k > j)
-        digit = (M >> j) & 1  # 0 -> RUNA, 1 -> RUNB
-        tgt = jnp.where(has, off + j, n)
-        out = out.at[tgt].set(digit, mode="drop")
+    # Scatter one record per token (literal or run start), then derive
+    # run digits elementwise: output slot t of a run starting at output
+    # offset o carries bit (t - o) of M.  Two scatters + one max-scan
+    # replace per-digit scatter passes (scatters are the costly
+    # primitive on TPU).
+    tok = ~z | is_run_start
+    tok_tgt = jnp.where(tok, off, n)
+    # record: run start -> M | RUNBIT, literal -> r+1 (one packed int)
+    RUNBIT = jnp.int32(1 << 30)
+    rec = jnp.where(z, M | RUNBIT, r + 1)
+    rec_at = jnp.zeros((n + 1,), jnp.int32).at[tok_tgt].set(rec, mode="drop")
+    start_at = jnp.full((n + 1,), -1, jnp.int32).at[tok_tgt].set(
+        off, mode="drop"
+    )
+    oidx = jnp.arange(n, dtype=jnp.int32)
+    owner = jnp.maximum(
+        jax.lax.associative_scan(jnp.maximum, start_at[:n]), 0
+    )
+    o_rec = rec_at[owner]  # the single gather of this stage
+    is_run_slot = (o_rec & RUNBIT) != 0
+    digit = (o_rec >> jnp.clip(oidx - owner, 0, 29)) & 1
+    out = jnp.where(is_run_slot, digit, o_rec)
+    out = jnp.where(oidx < m, out, 0)
     return out, m
 
 

@@ -52,10 +52,14 @@ def bwt_encode(data: jax.Array):
 
     def body(state):
         rank, k = state
-        key2 = rank[(idx + k) % n]
-        _, _, order = jax.lax.sort((rank, key2, idx), num_keys=2, is_stable=True)
-        r1 = rank[order]
-        r2 = key2[order]
+        # rank[(i + k) mod n] is a circular shift — no gather needed.
+        key2 = jnp.roll(rank, -k)
+        r1, r2, order = jax.lax.sort(
+            (rank, key2, idx), num_keys=2, is_stable=True
+        )
+        # sorted keys come straight from the sort operands: the only
+        # random-access op per round is the rank scatter (gathers are
+        # the expensive primitive on TPU; sorts are cheap).
         newgrp = jnp.concatenate(
             [
                 jnp.zeros((1,), jnp.int32),
@@ -87,19 +91,20 @@ def bwt_decode(last: jax.Array, idx0: jax.Array) -> jax.Array:
     T = jnp.zeros((n,), jnp.int32).at[order].set(idx)
 
     # Pointer doubling: d[i] = steps from i to idx0 along T
-    # (d[idx0] = its cycle length p).
+    # (d[idx0] = its cycle length p).  ptr and d ride one [n, 2] array
+    # so each round costs a single gather (gathers dominate on TPU).
     rounds = max(1, (n - 1).bit_length())
-    ptr0 = T
-    d0 = jnp.ones((n,), jnp.int32)
+    state0 = jnp.stack([T, jnp.ones((n,), jnp.int32)], axis=1)
 
     def round_body(_, state):
-        ptr, d = state
-        live = ptr != idx0
-        d = jnp.where(live, d + d[ptr], d)
-        ptr = jnp.where(live, ptr[ptr], ptr)
-        return ptr, d
+        ptr = state[:, 0]
+        tgt = state[ptr]  # [n, 2] — one gather fetches ptr' and d'
+        live = (ptr != idx0)[:, None]
+        upd = jnp.stack([tgt[:, 0], state[:, 1] + tgt[:, 1]], axis=1)
+        return jnp.where(live, upd, state)
 
-    ptr, d = jax.lax.fori_loop(0, rounds, round_body, (ptr0, d0))
+    state = jax.lax.fori_loop(0, rounds, round_body, state0)
+    ptr, d = state[:, 0], state[:, 1]
     in_cycle = ptr == idx0
     p = d[idx0]  # cycle length through idx0 (== n unless input periodic)
 

@@ -1,0 +1,246 @@
+"""CULZSS packet-format LZSS codec (cuda-lzss-cluster wire format).
+
+Format ground truth is the reference decoder (`gpu_decompress.cu:120-244`):
+each 4096-byte packet is independent, with its own 128-byte ring window
+initialized to spaces; the byte stream per packet is a flag byte per 8
+tokens (LSB-first, bit set = literal), literal = 1 byte, match =
+(length, offset) bytes copying from the pre-token window snapshot.
+Packets whose packed form reaches PCKTSIZE are stored raw (the
+reference's "compression took more" fallback, `gpu_compress.cu:496`,
+`culzss.c:176-183`).
+
+TPU design: every packet is a vmapped lane — encode runs the same
+chain-search + pointer-doubling greedy parse as the Dipperstein codec
+(packet-local), plus an analytic same-byte run rule that recovers the
+long-match case (runs) without deep match extension.  Byte-exact layout
+is produced by scatters at prefix-summed byte offsets.  Decode walks
+tokens serially per packet (the reference's unit of parallelism) across
+all packet lanes at once, then resolves copy sources byte-parallel by
+pointer doubling.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PCKT = 4096
+WIN = 128
+MAX_LEN = 127          # length byte; reference clamps to MAX_CODED-1
+MIN_MATCH = 3
+K_CHAIN = 8
+_EXTEND = 18           # chain-search match cap (runs handled analytically)
+_PAD = WIN + PCKT + MAX_LEN + 4
+
+
+def _encode_packet(packet: jax.Array):
+    """uint8[PCKT] -> (bytes uint8[PCKT+PCKT//8+8], nbytes, ntokens)."""
+    padded = jnp.concatenate(
+        [jnp.full((WIN,), 32, jnp.uint8), packet,
+         jnp.zeros((_PAD - WIN - PCKT,), jnp.uint8)]
+    )
+    n_total = _PAD
+    idx = jnp.arange(n_total, dtype=jnp.int32)
+    p3 = padded.astype(jnp.int32)
+    key = (p3 << 16) | (jnp.roll(p3, -1) << 8) | jnp.roll(p3, -2)
+    key = jnp.where(idx < n_total - 2, key, (1 << 25) + idx)
+    skey, spos = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+
+    pos = jnp.arange(PCKT, dtype=jnp.int32) + WIN
+    best_len = jnp.zeros((PCKT,), jnp.int32)
+    best_src = jnp.zeros((PCKT,), jnp.int32)
+    # chain candidates (most recent same-3-gram predecessors)
+    cand = jnp.full((n_total, K_CHAIN), -1, jnp.int32)
+    cols = []
+    for d in range(1, K_CHAIN + 1):
+        ok = (idx >= d) & (jnp.roll(skey, d) == skey)
+        cols.append(jnp.where(ok, jnp.roll(spos, d), -1))
+    cand = cand.at[spos].set(jnp.stack(cols, axis=1))
+    for kk in range(K_CHAIN):
+        src = cand[pos, kk]
+        valid = src >= 0
+        srcc = jnp.maximum(src, 0)
+        still = valid
+        ln = jnp.zeros((PCKT,), jnp.int32)
+        for j in range(_EXTEND):
+            still = still & (padded[srcc + j] == padded[pos + j])
+            ln = ln + still.astype(jnp.int32)
+        in_win = (src >= pos - WIN) & valid
+        ln = jnp.where(in_win, jnp.minimum(ln, pos - src), 0)
+        take = ln > best_len
+        best_len = jnp.where(take, ln, best_len)
+        best_src = jnp.where(take, src, best_src)
+
+    # analytic same-byte runs: if the previous d bytes equal this byte,
+    # source pos-d supports a match of min(d, run_remaining) bytes —
+    # recovers long run matches (up to 127) that the capped chain
+    # extension misses.  Scans run over the padded domain.
+    same_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), padded[1:] == padded[:-1]]
+    )
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(same_prev, -1, idx)
+    )                               # start of the current same-byte run
+    first_diff = jax.lax.associative_scan(
+        jnp.minimum,
+        jnp.where(jnp.roll(same_prev, -1), n_total, idx + 1),
+        reverse=True,
+    )                               # first position after idx that differs
+    into_run = (idx - run_start)[WIN: WIN + PCKT]
+    remaining = (first_diff - idx)[WIN: WIN + PCKT]
+    d_run = jnp.minimum(into_run, MAX_LEN)
+    run_len = jnp.minimum(jnp.minimum(d_run, remaining), MAX_LEN)
+    take = (run_len > best_len) & (d_run >= 1)
+    best_len = jnp.where(take, run_len, best_len)
+    best_src = jnp.where(take, pos - d_run, best_src)
+
+    # clamp to packet remainder
+    best_len = jnp.minimum(best_len, PCKT - (pos - WIN))
+    is_match = best_len >= MIN_MATCH
+    step = jnp.where(is_match, best_len, 1)
+
+    # greedy parse (orbit of 0)
+    jump = jnp.minimum(jnp.arange(PCKT, dtype=jnp.int32) + step, PCKT)
+    jump_e = jnp.concatenate([jump, jnp.full((1,), PCKT, jnp.int32)])
+    reach = jnp.zeros((PCKT + 1,), jnp.int32).at[0].set(1)
+    J = jump_e
+    for _ in range(12):
+        reach = reach.at[J].max(reach, mode="drop")
+        J = J[J]
+    is_start = reach[:PCKT] > 0
+
+    # byte layout
+    tok_bytes = jnp.where(is_start, jnp.where(is_match, 2, 1), 0)
+    tok_idx = jnp.cumsum(is_start.astype(jnp.int32)) - is_start
+    group = tok_idx >> 3
+    data_off = jnp.cumsum(tok_bytes) - tok_bytes
+    byte_off = data_off + group + 1  # +1 flag byte of own group, + earlier
+    ntokens = jnp.sum(is_start.astype(jnp.int32))
+    ngroups = (ntokens + 7) >> 3
+    total_bytes = (
+        jnp.sum(tok_bytes) + ngroups
+    )
+
+    cap_out = PCKT + PCKT // 8 + 8
+    out = jnp.zeros((cap_out,), jnp.uint8)
+    # token payload bytes
+    lit_tgt = jnp.where(is_start & ~is_match, byte_off, cap_out)
+    out = out.at[lit_tgt].set(packet, mode="drop")
+    m_tgt = jnp.where(is_start & is_match, byte_off, cap_out)
+    out = out.at[m_tgt].set(best_len.astype(jnp.uint8), mode="drop")
+    m_tgt2 = jnp.where(is_start & is_match, byte_off + 1, cap_out)
+    out = out.at[m_tgt2].set((best_src % WIN).astype(jnp.uint8), mode="drop")
+    # flag bytes: group g's flag byte sits right before its first
+    # token's payload.  first token of group g has tok_idx == 8g.
+    first_of_group = is_start & ((tok_idx & 7) == 0)
+    flag_pos_tgt = jnp.where(first_of_group, byte_off - 1, cap_out)
+    flag_bit = jnp.where(
+        is_start & ~is_match,
+        jnp.left_shift(jnp.int32(1), (tok_idx & 7)),
+        0,
+    )
+    flags_by_group = jnp.zeros((PCKT // 8 + 2,), jnp.int32).at[
+        jnp.where(is_start, group, PCKT // 8 + 1)
+    ].add(flag_bit, mode="drop")
+    out = out.at[flag_pos_tgt].set(
+        flags_by_group[group].astype(jnp.uint8), mode="drop"
+    )
+    return out, total_bytes, ntokens
+
+
+@jax.jit
+def culzss_encode_block(block: jax.Array):
+    """uint8[N] (N multiple of PCKT) -> per-packet byte arrays + sizes."""
+    P = block.shape[0] // PCKT
+    packets = block.reshape(P, PCKT)
+    return jax.vmap(_encode_packet)(packets)
+
+
+def _decode_packet_records(pbytes, psize):
+    """Serial token walk of one packet: scatter (code, start) records.
+
+    Returns (rec int32[PCKT+1] packed (is_lit<<16 | b1<<8 | b0), start
+    flags, out_len).
+    """
+    cap = PCKT + 1
+
+    def cond(st):
+        fpos, _, _, _, flags_left, _ = st
+        return (fpos < psize)
+
+    def body(st):
+        fpos, outp, rec, start, flags_left, flags = st
+        # read new flag byte when the previous group is exhausted
+        need_flag = flags_left == 0
+        flags = jnp.where(need_flag, pbytes[fpos].astype(jnp.int32), flags)
+        flags_left = jnp.where(need_flag, 8, flags_left)
+        fpos = fpos + need_flag.astype(jnp.int32)
+        ok = fpos < psize
+        is_lit = (flags & 1) == 1
+        b0 = pbytes[jnp.minimum(fpos, psize - 1)].astype(jnp.int32)
+        b1 = pbytes[jnp.minimum(fpos + 1, psize - 1)].astype(jnp.int32)
+        nbytes = jnp.where(is_lit, 1, 2)
+        ok = ok & (fpos + nbytes <= psize)
+        length = jnp.where(is_lit, 1, b0)
+        code = (is_lit.astype(jnp.int32) << 16) | (b1 << 8) | b0
+        tgt = jnp.where(ok, jnp.minimum(outp, PCKT), cap)
+        rec = rec.at[tgt].set(code, mode="drop")
+        start = start.at[tgt].set(1, mode="drop")
+        outp = outp + jnp.where(ok, length, 0)
+        fpos = jnp.where(ok, fpos + nbytes, psize)
+        flags = flags >> 1
+        flags_left = flags_left - 1
+        return fpos, outp, rec, start, flags_left, flags
+
+    fpos0 = jnp.int32(0)
+    st = (
+        fpos0, jnp.int32(0), jnp.zeros((cap + 1,), jnp.int32),
+        jnp.zeros((cap + 1,), jnp.int32), jnp.int32(0), jnp.int32(0),
+    )
+    fpos, outp, rec, start, _, _ = jax.lax.while_loop(cond, body, st)
+    return rec[:cap], start[:cap], outp
+
+
+@jax.jit
+def culzss_decode_block(pbuf: jax.Array, psizes: jax.Array):
+    """pbuf uint8[P, cap], psizes int32[P] -> uint8[P, PCKT] decoded."""
+    rec, start, outl = jax.vmap(_decode_packet_records)(pbuf, psizes)
+    # byte-level resolution per packet (batched elementwise + gathers)
+    P = pbuf.shape[0]
+    idx = jnp.arange(PCKT, dtype=jnp.int32)[None, :]
+    starts = start[:, :PCKT] > 0
+    tok_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(starts, idx, -1), axis=1
+    )
+    tok_start_c = jnp.maximum(tok_start, 0)
+    code = jnp.take_along_axis(rec[:, :PCKT], tok_start_c, axis=1)
+    is_lit = (code >> 16) & 1
+    b0 = code & 0xFF
+    off = (code >> 8) & 0xFF
+    j = idx - tok_start_c
+    w = (off + j) % WIN
+    p_pad = tok_start_c + WIN
+    q = p_pad - 1 - ((p_pad - 1 - w) % WIN)
+
+    total = PCKT + WIN
+    pidx = jnp.broadcast_to(jnp.arange(total, dtype=jnp.int32)[None, :],
+                            (P, total))
+    val = jnp.full((P, total), 32, jnp.uint8)
+    valid = idx < outl[:, None]
+    lit_mask = (is_lit == 1) & valid
+    val = val.at[
+        jnp.arange(P)[:, None], jnp.where(lit_mask, idx + WIN, total)
+    ].set(b0.astype(jnp.uint8), mode="drop")
+    src = jnp.where((is_lit == 0) & valid, q, idx + WIN)
+    src_full = jnp.concatenate([pidx[:, :WIN], src], axis=1)
+    root = jnp.concatenate(
+        [jnp.ones((P, WIN), bool), lit_mask | ~valid], axis=1
+    )
+    src_full = jnp.where(root, pidx, src_full)
+    for _ in range(13):  # ceil(log2(PCKT+WIN))
+        src_full = jnp.take_along_axis(src_full, src_full, axis=1)
+    out = jnp.take_along_axis(val, src_full, axis=1)[:, WIN:]
+    return out, outl

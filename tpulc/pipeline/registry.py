@@ -45,6 +45,9 @@ def get_codec(name_or_id: str | int):
     if cid == CODEC_LZSS:
         from tpulc.codecs.lzss import driver
         return driver
+    if cid == CODEC_LZSS_CULZSS:
+        from tpulc.codecs.lzss import culzss_driver
+        return culzss_driver
     if cid == CODEC_BZ:
         from tpulc.codecs.bwt import driver
         return driver
