@@ -11,14 +11,28 @@ baseline denominator.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: bench shapes are stable across
+# runs, so recompiles through the remote-compile tunnel are the main
+# fixed cost to avoid.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 # V100 cuda-bzip2: 3,569,598 bytes in (2.185 + 0.191) s round-trip.
 BASELINE_ROUNDTRIP_MBPS = 3.569598 / (2.185 + 0.191)
 
-SIZE = 4 << 20  # enwik-class text, ~4 MiB
+SIZE = 3_569_598  # the reference benchmark file size (BASELINE.md)
 
 
 def make_corpus(size: int) -> bytes:

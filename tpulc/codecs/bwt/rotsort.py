@@ -27,12 +27,14 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
-def bwt_encode(data: jax.Array):
+@partial(jax.jit, static_argnames=("tie_desc",))
+def bwt_encode(data: jax.Array, tie_desc: bool = False):
     """BWT of uint8[n] -> (last column uint8[n], primary index int32).
 
     Ties between equal rotations (periodic inputs) resolve by original
-    position, which the inverse's cycle arithmetic accommodates.
+    position — ascending by default (the inverse's cycle arithmetic
+    accommodates it); `tie_desc=True` matches libbzip2's empirically
+    descending tie order (needed for bit-exact .bz2 origPtr values).
     """
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -71,8 +73,10 @@ def bwt_encode(data: jax.Array):
         return rank, k * 2
 
     rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(1)))
-    # Final order: by rank, ties by original position (stable).
-    _, order = jax.lax.sort((rank, idx), num_keys=1, is_stable=True)
+    # Final order: by rank, ties by original position.
+    tie_key = (n - 1) - idx if tie_desc else idx
+    _, tk = jax.lax.sort((rank, tie_key), num_keys=2, is_stable=True)
+    order = ((n - 1) - tk) if tie_desc else tk
     last = data[(order - 1) % n]
     idx0 = jnp.argmax(order == 0).astype(jnp.int32)
     return last, idx0
