@@ -65,3 +65,14 @@ def test_random_data_exact():
         0, 256, size=60000
     ).astype(np.uint8).tobytes()
     assert bz2_compress(data, 9) == bz2.compress(data, 9)
+
+
+def test_native_decoder_roundtrip():
+    """Gold C .bz2 decoder handles our and libbzip2's streams."""
+    from tpulc.codecs.bwt import bzip2_codec
+
+    data = _pg(60000) + b"\x00" * 3000 + _pg(10000)
+    ours = bzip2_codec.compress(data, level=9)
+    assert ours == bz2.compress(data, 9)
+    assert bzip2_codec.decompress(ours) == data
+    assert bzip2_codec.decompress(bz2.compress(data, 1)) == data

@@ -50,7 +50,10 @@ def main(argv=None):
             f"({len(data) / dt / 1e6:.2f} MB/s)"
         )
     else:
-        codec = get_codec(Container.from_bytes(data).codec_id)
+        if data[:3] == b"BZh":
+            codec = get_codec("bzip2")
+        else:
+            codec = get_codec(Container.from_bytes(data).codec_id)
         out = codec.decompress(data)
         dt = time.perf_counter() - t0
         print(

@@ -63,3 +63,22 @@ def lzss_decode(data: bytes | np.ndarray, out_cap: int) -> bytes:
     if n < 0:
         raise RuntimeError("gold lzss decode overflow")
     return out[:n].tobytes()
+
+
+def bz2_decompress(data: bytes | np.ndarray, out_cap: int) -> bytes:
+    """Native .bz2 decode via the gold C library."""
+    lib = _load()
+    if not hasattr(lib.bz2_gold_decompress, "_configured"):
+        lib.bz2_gold_decompress.restype = ctypes.c_long
+        lib.bz2_gold_decompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+        lib.bz2_gold_decompress._configured = True
+    arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
+        else np.ascontiguousarray(data, np.uint8)
+    out = np.zeros(max(out_cap, 1), np.uint8)
+    n = lib.bz2_gold_decompress(_as_buf(arr), len(arr), _as_buf(out), out_cap)
+    if n < 0:
+        raise ValueError("invalid .bz2 stream")
+    return out[:n].tobytes()

@@ -15,6 +15,7 @@ CODEC_LZSS = 2         # Dipperstein 12/4 bitstream LZSS
 CODEC_LZSS_CULZSS = 3  # CULZSS flag-byte 8/8 packet format
 CODEC_BZ = 4           # BWT -> MTF -> RLE2 -> Huffman (bzip2-class)
 CODEC_BSC = 5          # large-block LZP + QLFC-rank + rANS (bsc-class)
+CODEC_BZIP2 = 6        # real .bz2 format, bit-exact vs bzip2 -9
 
 _NAMES = {
     "store": CODEC_STORE,
@@ -23,6 +24,7 @@ _NAMES = {
     "culzss": CODEC_LZSS_CULZSS,
     "bz": CODEC_BZ,
     "bsc": CODEC_BSC,
+    "bzip2": CODEC_BZIP2,
 }
 
 
@@ -51,4 +53,7 @@ def get_codec(name_or_id: str | int):
     if cid == CODEC_BZ:
         from tpulc.codecs.bwt import driver
         return driver
+    if cid == CODEC_BZIP2:
+        from tpulc.codecs.bwt import bzip2_codec
+        return bzip2_codec
     raise KeyError(f"unknown codec {name_or_id!r}")
