@@ -1,0 +1,58 @@
+"""bsc-class codec: LZP + large-block pipeline round trips and ratio."""
+
+import bz2
+
+import numpy as np
+import pytest
+
+from tpulc.codecs.bsclike import driver
+from tpulc.gold.lzp import lzp_decode, lzp_encode
+
+
+def _pg(n):
+    with open("/root/reference/cuda-lzss-unknown/pg1661.txt", "rb") as f:
+        data = f.read()
+    return (data * (n // len(data) + 1))[:n]
+
+
+def test_lzp_roundtrip():
+    base = _pg(150000)
+    data = base + base  # long-range repeat, LZP's home turf
+    enc = lzp_encode(data)
+    assert enc is not None and len(enc) < len(data) // 2 + 2048
+    assert lzp_decode(enc, len(data) + 64) == data
+
+
+def test_lzp_incompressible_returns_none():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, size=50000).astype(np.uint8).tobytes()
+    assert lzp_encode(data) is None
+
+
+def test_bsc_roundtrip_repetitive():
+    base = _pg(200000)
+    data = base + base
+    comp = driver.compress(data, block_size=1 << 19)
+    assert driver.decompress(comp) == data
+    # repetitive corpus: LZP + block sorting must beat bzip2 -9
+    assert len(comp) < len(bz2.compress(data, 9))
+
+
+def test_bsc_roundtrip_random():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=200000).astype(np.uint8).tobytes()
+    comp = driver.compress(data, block_size=1 << 18)
+    assert driver.decompress(comp) == data
+    assert len(comp) < len(data) * 1.05  # stored fallback bounds expansion
+
+
+def test_bsc_small_inputs():
+    for data in (b"", b"a", b"ab" * 40, _pg(100)):
+        comp = driver.compress(data, block_size=1 << 16)
+        assert driver.decompress(comp) == data
+
+
+def test_bsc_multi_block():
+    data = _pg(300000) * 3
+    comp = driver.compress(data, block_size=1 << 18)
+    assert driver.decompress(comp) == data

@@ -14,10 +14,11 @@ Per-block payload (little-endian):
     m           u32   RLE2 symbol count
     idx0        u32   BWT primary index
     total_bits  u32   entropy-stream bits
-    mode        u8    reserved (aligned offsets always present)
+    mode        u8    bit0: decode anchors present
     lengths     129B  257 code lengths, nibble-packed
     nchunks     u32
     offsets     u32 * nchunks   bit offset of each 256-symbol chunk
+    [n_anchors  u32 + anchors u32*n_anchors   when mode&1]
     words       4B * ceil(total_bits/32)
 """
 
@@ -31,7 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpulc.codecs.bwt.rle import ALPHABET, rle2_decode, rle2_encode
-from tpulc.codecs.bwt.rotsort import bwt_decode, bwt_encode
+from tpulc.codecs.bwt.rotsort import (
+    bwt_decode,
+    bwt_decode_anchored,
+    bwt_encode_anchored,
+)
 from tpulc.codecs.huffman.decode import huffman_decode_aligned
 from tpulc.codecs.huffman.tables import HuffmanTable
 from tpulc.pipeline.container import Container
@@ -50,10 +55,13 @@ def _cap_for(block_size: int) -> int:
     return -(-block_size // 64) * 64  # MTF chunk multiple
 
 
+ANCHOR_STRIDE = 1024
+
+
 @jax.jit
 def _forward(block):
-    """block uint8[cap] -> (syms int32[cap], m, idx0, hist int32[257])."""
-    last, idx0 = bwt_encode(block)
+    """block uint8[cap] -> (syms, m, idx0, hist, anchors, anchors_ok)."""
+    last, idx0, anchors, ok = bwt_encode_anchored(block, ANCHOR_STRIDE)
     ranks = mtf_encode(last)
     syms, m = rle2_encode(ranks)
     cap = block.shape[0]
@@ -61,7 +69,7 @@ def _forward(block):
     hist = jnp.zeros((ALPHABET + 1,), jnp.int32).at[masked].add(
         1, mode="drop"
     )[:ALPHABET]
-    return syms, m, idx0, hist
+    return syms, m, idx0, hist, anchors, ok
 
 
 @partial(jax.jit, static_argnames=("out_words", "nchunks"))
@@ -90,13 +98,26 @@ def _inverse(words, total_bits, m, idx0, lut_sym, lut_len, offs, cap: int):
     return bwt_decode(last, idx0)
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _inverse_anchored(words, total_bits, m, idx0, lut_sym, lut_len, offs,
+                      anchors, cap: int):
+    sym_offsets = jnp.arange(offs.shape[0], dtype=jnp.int32) * CHUNK_SYMS
+    syms = huffman_decode_aligned(
+        words, total_bits, cap, lut_sym, lut_len, MAX_LEN,
+        offs, sym_offsets, out_dtype=jnp.int32,
+    )
+    ranks, _ = rle2_decode(syms, m)
+    last = mtf_decode(ranks)
+    return bwt_decode_anchored(last, idx0, anchors, ANCHOR_STRIDE)
+
+
 def compress_block(block: np.ndarray, block_cap: int) -> bytes:
     n = block.shape[0]
     cap = _cap_for(block_cap)
     assert n <= cap
     padded = np.zeros(cap, np.uint8)
     padded[:n] = block
-    syms, m, idx0, hist = _forward(jnp.asarray(padded))
+    syms, m, idx0, hist, anchors, ok = _forward(jnp.asarray(padded))
     table = HuffmanTable.from_freqs(np.asarray(hist), MAX_LEN)
     out_words = -(-cap * MAX_LEN // 32)
     nchunks = max(1, -(-cap // CHUNK_SYMS))
@@ -112,14 +133,20 @@ def compress_block(block: np.ndarray, block_cap: int) -> bytes:
     nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
     used_chunks = max(1, -(-m // CHUNK_SYMS))
     offs = np.asarray(chunk_offsets[:used_chunks]).astype("<u4")
-    payload = _BLOCK_HEAD.pack(n, m, idx0, total_bits, 0) + nibbles
+    # anchors pay off only when they are a sliver of the payload
+    mode = 1 if (bool(ok) and 4 * int(np.asarray(anchors).shape[0]) * 20
+                 < nw * 4) else 0
+    payload = _BLOCK_HEAD.pack(n, m, idx0, total_bits, mode) + nibbles
     payload += struct.pack("<I", used_chunks) + offs.tobytes()
+    if mode & 1:
+        a = np.asarray(anchors).astype("<u4")
+        payload += struct.pack("<I", a.shape[0]) + a.tobytes()
     payload += np.asarray(words[:nw]).astype("<u4").tobytes()
     return payload
 
 
-def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
-    n, m, idx0, total_bits, _mode = _BLOCK_HEAD.unpack(
+def _parse_block(payload: bytes):
+    n, m, idx0, total_bits, mode = _BLOCK_HEAD.unpack(
         payload[: _BLOCK_HEAD.size]
     )
     off = _BLOCK_HEAD.size
@@ -135,21 +162,38 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         np.int32
     )
     off += 4 * nchunks
+    anchors = None
+    if mode & 1:
+        (na,) = struct.unpack("<I", payload[off: off + 4])
+        off += 4
+        anchors = np.frombuffer(payload[off: off + 4 * na], "<u4").astype(
+            np.int32
+        )
+        off += 4 * na
     nw = -(-total_bits // 32)
     words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
+    return n, m, idx0, total_bits, lengths, bit_offsets, anchors, words
+
+
+def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
+    n, m, idx0, total_bits, lengths, bit_offsets, anchors, words =         _parse_block(payload)
     cap = _cap_for(block_cap)
     wcap = -(-cap * MAX_LEN // 32)
     words_p = np.zeros(wcap, np.uint32)
-    words_p[:nw] = words
+    words_p[: words.shape[0]] = words
     ccap = max(1, -(-cap // CHUNK_SYMS))
     offs_p = np.full(ccap, total_bits, np.int32)
-    offs_p[:nchunks] = bit_offsets
+    offs_p[: bit_offsets.shape[0]] = bit_offsets
     table = HuffmanTable.from_lengths(lengths, MAX_LEN)
-    block = _inverse(
+    args = (
         jnp.asarray(words_p), jnp.int32(total_bits), jnp.int32(m),
         jnp.int32(idx0), jnp.asarray(table.lut_sym),
-        jnp.asarray(table.lut_len), jnp.asarray(offs_p), cap,
+        jnp.asarray(table.lut_len), jnp.asarray(offs_p),
     )
+    if anchors is not None:
+        block = _inverse_anchored(*args, jnp.asarray(anchors), cap)
+    else:
+        block = _inverse(*args, cap)
     return np.asarray(block[:n])
 
 
@@ -166,6 +210,10 @@ _inverse_batch = jax.jit(
     jax.vmap(_inverse, in_axes=(0, 0, 0, 0, 0, 0, 0, None)),
     static_argnums=(7,),
 )
+_inverse_anchored_batch = jax.jit(
+    jax.vmap(_inverse_anchored, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
+    static_argnums=(8,),
+)
 
 MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
 
@@ -173,8 +221,12 @@ MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
 def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     """blocks uint8[B, cap] (zero-padded), ns true sizes -> payloads."""
     B, cap = blocks.shape
-    syms, ms, idx0s, hists = _forward_batch(jnp.asarray(blocks))
+    syms, ms, idx0s, hists, anchors_b, ok_b = _forward_batch(
+        jnp.asarray(blocks)
+    )
     hists = np.asarray(hists)
+    anchors_b = np.asarray(anchors_b)
+    ok_b = np.asarray(ok_b)
     tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
     codes = jnp.asarray(np.stack([t.codes for t in tables]))
     lengths = jnp.asarray(np.stack([t.lengths for t in tables]))
@@ -198,8 +250,13 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
         used_chunks = max(1, -(-m // CHUNK_SYMS))
         offs = chunk_offsets[b, :used_chunks].astype("<u4")
-        payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, 0) + nibbles
+        mode = 1 if (bool(ok_b[b]) and 4 * anchors_b.shape[1] * 20
+                     < nw * 4) else 0
+        payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode) + nibbles
         payload += struct.pack("<I", used_chunks) + offs.tobytes()
+        if mode & 1:
+            a = anchors_b[b].astype("<u4")
+            payload += struct.pack("<I", a.shape[0]) + a.tobytes()
         payload += words[b, :nw].astype("<u4").tobytes()
         payloads.append(payload)
     return payloads
@@ -229,61 +286,49 @@ def compress(data: bytes | np.ndarray, block_size: int = 900_000) -> bytes:
     return c.to_bytes()
 
 
-def _parse_payload(payload: bytes):
-    n, m, idx0, total_bits, _mode = _BLOCK_HEAD.unpack(
-        payload[: _BLOCK_HEAD.size]
-    )
-    off = _BLOCK_HEAD.size
-    nib = np.frombuffer(payload[off: off + _NIBBLES], np.uint8)
-    off += _NIBBLES
-    lengths = np.zeros(_NIBBLES * 2, np.int32)
-    lengths[0::2] = nib & 0xF
-    lengths[1::2] = nib >> 4
-    (nchunks,) = struct.unpack("<I", payload[off: off + 4])
-    off += 4
-    bit_offsets = np.frombuffer(payload[off: off + 4 * nchunks], "<u4").astype(
-        np.int32
-    )
-    off += 4 * nchunks
-    nw = -(-total_bits // 32)
-    words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
-    return n, m, idx0, total_bits, lengths[:ALPHABET], bit_offsets, words
-
-
 def decompress(buf: bytes) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_BZ
     cap = _cap_for(c.block_size)
     wcap = -(-cap * MAX_LEN // 32)
     ccap = max(1, -(-cap // CHUNK_SYMS))
+    n_anch = -(-cap // ANCHOR_STRIDE)
     parts = []
     for i in range(0, len(c.payloads), MAX_BATCH):
         group = c.payloads[i: i + MAX_BATCH]
         B = len(group)
         words_b = np.zeros((B, wcap), np.uint32)
         offs_b = np.zeros((B, ccap), np.int32)
+        anch_b = np.zeros((B, n_anch), np.int32)
         tb_b = np.zeros((B,), np.int32)
         m_b = np.zeros((B,), np.int32)
         idx0_b = np.zeros((B,), np.int32)
         ns = []
         luts_s, luts_l = [], []
+        all_anchored = True
         for j, payload in enumerate(group):
-            n, m, idx0, tb, lengths, bit_offsets, words = _parse_payload(
-                payload
-            )
+            n, m, idx0, tb, lengths, bit_offsets, anchors, words =                 _parse_block(payload)
             ns.append(n)
             words_b[j, : words.shape[0]] = words
             offs_b[j] = tb
             offs_b[j, : bit_offsets.shape[0]] = bit_offsets
+            if anchors is not None and anchors.shape[0] == n_anch:
+                anch_b[j] = anchors
+            else:
+                all_anchored = False
             tb_b[j], m_b[j], idx0_b[j] = tb, m, idx0
             table = HuffmanTable.from_lengths(lengths, MAX_LEN)
             luts_s.append(table.lut_sym)
             luts_l.append(table.lut_len)
-        blocks = _inverse_batch(
+        args = (
             jnp.asarray(words_b), jnp.asarray(tb_b), jnp.asarray(m_b),
             jnp.asarray(idx0_b), jnp.asarray(np.stack(luts_s)),
-            jnp.asarray(np.stack(luts_l)), jnp.asarray(offs_b), cap,
+            jnp.asarray(np.stack(luts_l)), jnp.asarray(offs_b),
         )
+        if all_anchored:
+            blocks = _inverse_anchored_batch(*args, jnp.asarray(anch_b), cap)
+        else:
+            blocks = _inverse_batch(*args, cap)
         blocks = np.asarray(blocks)
         parts.extend(blocks[j, : ns[j]] for j in range(B))
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]

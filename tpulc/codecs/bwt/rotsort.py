@@ -131,3 +131,84 @@ def bwt_encode_np(data):
     rots = sorted(range(n), key=lambda i: tuple(doubled[i: i + n]))
     last = np.array([arr[(r - 1) % n] for r in rots], np.uint8)
     return last, rots.index(0)
+
+
+@partial(jax.jit, static_argnames=("anchor_stride",))
+def bwt_encode_anchored(data: jax.Array, anchor_stride: int = 1024):
+    """BWT + decode-restart anchors (libbsc's restart-index idea,
+    `bwt.cpp:359`, priced for TPU: anchors cost ~0.1% of the block and
+    turn the inverse into S-step parallel lane walks instead of log2(n)
+    full-size pointer-doubling gathers).
+
+    anchors[j] = T^(j*S)(idx0) = row((n - j*S) mod n), which is just a
+    strided read of the final rank vector — free at encode time.
+    Returns (last, idx0, anchors int32[R], ok bool) — ok is False when
+    rotation ranks were not unique (periodic input); callers then fall
+    back to the metadata-free doubling decoder.
+    """
+    n = data.shape[0]
+    S = anchor_stride
+    R = -(-n // S)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    byte = data.astype(jnp.int32)
+    _, order0 = jax.lax.sort((byte, idx), num_keys=1, is_stable=True)
+    b_sorted = byte[order0]
+    grp0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
+    )
+    rank0 = jnp.zeros((n,), jnp.int32).at[order0].set(jnp.cumsum(grp0))
+
+    def cond(state):
+        rank, k = state
+        return (k < n) & (jnp.max(rank) < n - 1)
+
+    def body(state):
+        rank, k = state
+        key2 = jnp.roll(rank, -k)
+        r1, r2, order = jax.lax.sort(
+            (rank, key2, idx), num_keys=2, is_stable=True
+        )
+        newgrp = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32)]
+        )
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.cumsum(newgrp))
+        return rank, k * 2
+
+    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(1)))
+    ok = jnp.max(rank) == n - 1
+    _, order = jax.lax.sort((rank, idx), num_keys=1, is_stable=True)
+    last = data[(order - 1) % n]
+    idx0 = jnp.argmax(order == 0).astype(jnp.int32)
+    j = jnp.arange(R, dtype=jnp.int32)
+    anchors = rank[(n - j * S) % n]
+    return last, idx0, anchors, ok
+
+
+@partial(jax.jit, static_argnames=("anchor_stride",))
+def bwt_decode_anchored(last: jax.Array, idx0: jax.Array,
+                        anchors: jax.Array, anchor_stride: int = 1024):
+    """Inverse BWT via anchored lane walks: each of R lanes runs S
+    serial LF steps, writing rows of a step-major matrix (a cheap
+    dynamic-update-slice instead of a scatter); one reverse at the end
+    restores output order."""
+    n = last.shape[0]
+    S = anchor_stride
+    R = anchors.shape[0]
+    sym = last.astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    _, order = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
+    T = jnp.zeros((n,), jnp.int32).at[order].set(idx)
+    del idx0  # anchors[0] == idx0 by construction
+
+    out0 = jnp.zeros((S, R), jnp.uint8)
+
+    def body(t, st):
+        p, out = st
+        out = jax.lax.dynamic_update_slice(out, last[p][None, :], (t, 0))
+        return T[p], out
+
+    _, out = jax.lax.fori_loop(0, S, body, (anchors, out0))
+    lin = out.T.reshape(-1)[::-1]  # lin[R*S-1-k] = symbol at step k
+    return lin[R * S - n:]

@@ -56,4 +56,7 @@ def get_codec(name_or_id: str | int):
     if cid == CODEC_BZIP2:
         from tpulc.codecs.bwt import bzip2_codec
         return bzip2_codec
+    if cid == CODEC_BSC:
+        from tpulc.codecs.bsclike import driver
+        return driver
     raise KeyError(f"unknown codec {name_or_id!r}")
