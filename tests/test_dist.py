@@ -64,3 +64,25 @@ def test_dryrun_step_runs():
     ghist, words, all_bits = step(*make_args(16))
     jax.block_until_ready((ghist, words, all_bits))
     assert int(jnp.sum(ghist)) == 16 * 512
+
+
+def test_sharded_bz_forward_matches_single_device():
+    """Sharded bz transform must equal the unsharded result exactly."""
+    from tpulc.codecs.bwt.driver import _forward_batch
+    from tpulc.dist.sharded import sharded_bz_forward
+
+    mesh = make_mesh()
+    step, make_args = sharded_bz_forward(mesh, 512)
+    (blocks,) = make_args(16, rng_seed=42)
+    syms, m, idx0, hist, anchors, ok, sizes = step(blocks)
+    ref = _forward_batch(jnp.asarray(np.asarray(blocks)))
+    np.testing.assert_array_equal(np.asarray(m), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(idx0), np.asarray(ref[2]))
+    np.testing.assert_array_equal(np.asarray(syms), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(sizes), np.asarray(ref[1]))
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -136,3 +136,49 @@ def sharded_huffman_roundtrip_step(mesh: Mesh, block_size: int, max_len: int = 1
         )
 
     return jax.jit(step), make_args
+
+
+def sharded_bz_forward(mesh: Mesh, block_size: int):
+    """Block-data-parallel bz transform step over the mesh.
+
+    Each device runs the full BWT -> MTF -> RLE2 transform on its local
+    blocks (embarrassingly parallel, like bzip2's all-core scheduler
+    `compress.c:876-1006`); the all_gather of per-block symbol counts
+    is the container offset-table collective.  Returns a jitted step
+    and an argument builder.
+    """
+    from tpulc.codecs.bwt.driver import _cap_for, _forward
+
+    cap = _cap_for(block_size)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(BLOCKS_AXIS, None),
+        out_specs=(
+            P(BLOCKS_AXIS, None),  # syms
+            P(BLOCKS_AXIS),        # m
+            P(BLOCKS_AXIS),        # idx0
+            P(BLOCKS_AXIS, None),  # hist (per block)
+            P(BLOCKS_AXIS, None),  # anchors
+            P(BLOCKS_AXIS),        # anchors_ok
+            P(),                   # gathered sizes (offset table)
+        ),
+    )
+    def step(local_blocks):
+        syms, m, idx0, hist, anchors, ok = jax.vmap(_forward)(local_blocks)
+        sizes = jax.lax.all_gather(m, BLOCKS_AXIS, tiled=True)
+        return syms, m, idx0, hist, anchors, ok, sizes
+
+    def make_args(n_blocks: int, rng_seed: int = 0):
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        blocks = rng.integers(0, 64, size=(n_blocks, cap)).astype(np.uint8)
+        return (
+            jax.device_put(
+                blocks, NamedSharding(mesh, P(BLOCKS_AXIS, None))
+            ),
+        )
+
+    return jax.jit(step), make_args
