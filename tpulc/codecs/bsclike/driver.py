@@ -6,8 +6,10 @@ bsc's own division of labor (SURVEY.md §2.6): LZP runs on the host
 (native C, as bsc does even in -G mode), the block sort and modelling
 transforms run on the TPU via the masked dynamic-length pipeline, and
 blocks default to 25 MB (`bsc.cpp:76`).  The entropy stage is the
-257-symbol canonical Huffman coder; per-block incompressible fallback
-stores raw (bsc's `bsc_store`).
+chunk-interleaved static rANS coder (the parallel stand-in for bsc's
+QLFC range coder — same sub-block parallelization idea as
+`coder.cpp:52-61`); per-block incompressible fallback stores raw
+(bsc's `bsc_store`).
 
 Per-block payload (little-endian):
 
@@ -15,11 +17,13 @@ Per-block payload (little-endian):
     m_lzp       u32   LZP-stage bytes (== n when LZP was skipped)
     m           u32   RLE2 symbol count
     idx0        u32   BWT primary index
-    total_bits  u32
+    nwords      u32   total rANS u16 words
     flags       u8    bit0: LZP applied; bit1: stored raw
-    lengths     129B  nibble-packed code lengths
-    nchunks     u32 + offsets u32*nchunks
-    words
+    freqs       u16 * 257   quantized (2^12) symbol frequencies
+    nlanes      u32
+    counts      u16 * nlanes   per-lane word counts
+    states      u32 * nlanes   final rANS states
+    words       u16 * nwords   per-lane streams back to back
 """
 
 from __future__ import annotations
@@ -30,15 +34,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpulc.codecs.bwt.driver import CHUNK_SYMS, MAX_LEN, _NIBBLES
+from tpulc.codecs.bsclike.rans import (
+    CHUNK,
+    build_tables,
+    normalize_freqs,
+    rans_decode,
+    rans_encode,
+)
 from tpulc.codecs.bwt.masked import forward_masked, inverse_masked
 from tpulc.codecs.bwt.rle import ALPHABET
-from tpulc.codecs.huffman.decode import huffman_decode_aligned
-from tpulc.codecs.huffman.tables import HuffmanTable
 from tpulc.gold.lzp import lzp_decode, lzp_encode
 from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_BSC
-from tpulc.primitives.bits import pack_bits
 from tpulc.primitives.checksum import adler32_np
 
 DEFAULT_BLOCK = 25 * 1024 * 1024
@@ -48,33 +55,11 @@ FLAG_STORED = 2
 
 
 def _cap_for(block_size: int) -> int:
-    return -(-block_size // 64) * 64
+    return -(-block_size // max(64, CHUNK)) * max(64, CHUNK)
 
 
 @jax.jit
-def _entropy_stage(syms, m, codes, lengths):
-    cap = syms.shape[0]
-    out_words = -(-cap * MAX_LEN // 32)
-    nchunks = max(1, -(-cap // CHUNK_SYMS))
-    valid = jnp.arange(cap, dtype=jnp.int32) < m
-    sym_lens = jnp.where(valid, lengths[syms], 0)
-    sym_codes = jnp.where(valid, codes[syms], 0).astype(jnp.uint32)
-    words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
-    off = jnp.cumsum(sym_lens) - sym_lens
-    chunk_offsets = off[::CHUNK_SYMS][:nchunks].astype(jnp.int32)
-    chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < m
-    chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
-    return words, total_bits, chunk_offsets
-
-
-@jax.jit
-def _decode_stage(words, total_bits, m, n, idx0, lut_sym, lut_len, offs):
-    cap = offs.shape[0] * CHUNK_SYMS
-    sym_offsets = jnp.arange(offs.shape[0], dtype=jnp.int32) * CHUNK_SYMS
-    syms = huffman_decode_aligned(
-        words, total_bits, cap, lut_sym, lut_len, MAX_LEN,
-        offs, sym_offsets, out_dtype=jnp.int32,
-    )
+def _decode_stage(syms, m, n, idx0):
     return inverse_masked(syms, m, n, idx0)
 
 
@@ -93,63 +78,74 @@ def compress_block(block: np.ndarray, block_cap: int,
     padded = np.zeros(cap, np.uint8)
     padded[:m_lzp] = stage
     syms, m, idx0, hist = forward_masked(jnp.asarray(padded), jnp.int32(m_lzp))
-    table = HuffmanTable.from_freqs(np.asarray(hist), MAX_LEN)
-    words, total_bits, chunk_offsets = _entropy_stage(
-        syms, m, jnp.asarray(table.codes), jnp.asarray(table.lengths)
+    fq = normalize_freqs(np.asarray(hist))
+    freq_d, cum_d, _ = build_tables(fq)
+    words, counts, states = rans_encode(
+        syms, m, jnp.asarray(freq_d), jnp.asarray(cum_d)
     )
-    m, idx0, total_bits = int(m), int(idx0), int(total_bits)
-    nw = -(-total_bits // 32)
-    body_size = _HEAD.size + _NIBBLES + 4 + 4 * max(1, -(-m // CHUNK_SYMS)) \
-        + 4 * nw
+    m, idx0 = int(m), int(idx0)
+    used_lanes = max(1, -(-m // CHUNK))
+    counts_np = np.asarray(counts[:used_lanes])
+    states_np = np.asarray(states[:used_lanes]).astype("<u4")
+    words_np = np.asarray(words[:used_lanes])
+    nwords = int(counts_np.sum())
+    body_size = _HEAD.size + 2 * ALPHABET + 4 + 2 * used_lanes \
+        + 4 * used_lanes + 2 * nwords
     if body_size >= n:
         return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
-    lens = np.asarray(table.lengths, np.uint8)
-    lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
-    lens_pad[:ALPHABET] = lens
-    nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
-    used_chunks = max(1, -(-m // CHUNK_SYMS))
-    offs = np.asarray(chunk_offsets[:used_chunks]).astype("<u4")
-    payload = _HEAD.pack(n, m_lzp, m, idx0, total_bits, flags) + nibbles
-    payload += struct.pack("<I", used_chunks) + offs.tobytes()
-    payload += np.asarray(words[:nw]).astype("<u4").tobytes()
+    # compact per-lane words into one stream
+    flat = np.zeros(nwords, "<u2")
+    pos = 0
+    offs = np.concatenate([[0], np.cumsum(counts_np)]).astype(np.int64)
+    for j in range(used_lanes):
+        cnt = int(counts_np[j])
+        flat[offs[j]: offs[j] + cnt] = words_np[j, :cnt]
+    payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags)
+    payload += fq.astype("<u2").tobytes()
+    payload += struct.pack("<I", used_lanes)
+    payload += counts_np.astype("<u2").tobytes()
+    payload += states_np.tobytes()
+    payload += flat.tobytes()
     return payload
 
 
 def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
-    n, m_lzp, m, idx0, total_bits, flags = _HEAD.unpack(
-        payload[: _HEAD.size]
-    )
+    n, m_lzp, m, idx0, nwords, flags = _HEAD.unpack(payload[: _HEAD.size])
     off = _HEAD.size
     if flags & FLAG_STORED:
         return np.frombuffer(payload[off: off + n], np.uint8)
-    nib = np.frombuffer(payload[off: off + _NIBBLES], np.uint8)
-    off += _NIBBLES
-    lengths = np.zeros(_NIBBLES * 2, np.int32)
-    lengths[0::2] = nib & 0xF
-    lengths[1::2] = nib >> 4
-    lengths = lengths[:ALPHABET]
-    (nchunks,) = struct.unpack("<I", payload[off: off + 4])
-    off += 4
-    bit_offsets = np.frombuffer(payload[off: off + 4 * nchunks], "<u4").astype(
+    fq = np.frombuffer(payload[off: off + 2 * ALPHABET], "<u2").astype(
         np.int32
     )
-    off += 4 * nchunks
-    nw = -(-total_bits // 32)
-    words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
-    cap = _cap_for(block_cap)
-    wcap = -(-cap * MAX_LEN // 32)
-    words_p = np.zeros(wcap, np.uint32)
-    words_p[:nw] = words
-    ccap = max(1, -(-cap // CHUNK_SYMS))
-    offs_p = np.full(ccap, total_bits, np.int32)
-    offs_p[:nchunks] = bit_offsets
-    table = HuffmanTable.from_lengths(lengths, MAX_LEN)
-    stage = _decode_stage(
-        jnp.asarray(words_p), jnp.int32(total_bits), jnp.int32(m),
-        jnp.int32(m_lzp), jnp.int32(idx0),
-        jnp.asarray(table.lut_sym), jnp.asarray(table.lut_len),
-        jnp.asarray(offs_p),
+    off += 2 * ALPHABET
+    (nlanes,) = struct.unpack("<I", payload[off: off + 4])
+    off += 4
+    counts = np.frombuffer(payload[off: off + 2 * nlanes], "<u2").astype(
+        np.int32
     )
+    off += 2 * nlanes
+    states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
+    off += 4 * nlanes
+    flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
+    cap = _cap_for(block_cap)
+    lcap = max(1, cap // CHUNK)
+    words_p = np.zeros((lcap, CHUNK + 2), np.uint16)
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    for j in range(nlanes):
+        cnt = int(counts[j])
+        words_p[j, :cnt] = flat[offs[j]: offs[j] + cnt]
+    states_p = np.full(lcap, 1 << 16, np.uint32)
+    states_p[:nlanes] = states
+    counts_p = np.zeros(lcap, np.int32)
+    counts_p[:nlanes] = counts
+    freq_d, cum_d, lut = build_tables(fq)
+    syms = rans_decode(
+        jnp.asarray(words_p), jnp.asarray(counts_p), jnp.asarray(states_p),
+        jnp.int32(m), jnp.asarray(freq_d), jnp.asarray(cum_d),
+        jnp.asarray(lut),
+    )
+    stage = _decode_stage(syms, jnp.int32(m), jnp.int32(m_lzp),
+                          jnp.int32(idx0))
     stage = np.asarray(stage[:m_lzp])
     if flags & FLAG_LZP:
         return np.frombuffer(lzp_decode(stage, n), np.uint8)

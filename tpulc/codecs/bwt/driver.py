@@ -219,30 +219,37 @@ MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
 
 
 def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
-    """blocks uint8[B, cap] (zero-padded), ns true sizes -> payloads."""
+    """blocks uint8[B, cap] (zero-padded), ns true sizes -> payloads.
+
+    Blocks are dispatched sequentially: measured on the v5e, the
+    vmapped batch runs ~1.7x SLOWER than back-to-back single-block
+    programs (batched multi-operand sorts vectorize worse), and
+    per-dispatch overhead is ~1ms — so sequential wins.
+    """
     B, cap = blocks.shape
-    syms, ms, idx0s, hists, anchors_b, ok_b = _forward_batch(
-        jnp.asarray(blocks)
-    )
-    hists = np.asarray(hists)
-    anchors_b = np.asarray(anchors_b)
-    ok_b = np.asarray(ok_b)
+    per = [_forward(jnp.asarray(blocks[b])) for b in range(B)]
+    syms = [p[0] for p in per]
+    ms = [p[1] for p in per]
+    idx0s = [p[2] for p in per]
+    hists = np.stack([np.asarray(p[3]) for p in per])
+    anchors_b = np.stack([np.asarray(p[4]) for p in per])
+    ok_b = np.asarray([bool(p[5]) for p in per])
     tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
-    codes = jnp.asarray(np.stack([t.codes for t in tables]))
-    lengths = jnp.asarray(np.stack([t.lengths for t in tables]))
     out_words = -(-cap * MAX_LEN // 32)
     nchunks = max(1, -(-cap // CHUNK_SYMS))
-    words, total_bits, chunk_offsets = _entropy_batch(
-        syms, ms, codes, lengths, out_words, nchunks
-    )
-    ms = np.asarray(ms)
-    idx0s = np.asarray(idx0s)
-    total_bits = np.asarray(total_bits)
-    chunk_offsets = np.asarray(chunk_offsets)
-    words = np.asarray(words)
+    ent = [
+        _entropy(syms[b], ms[b], jnp.asarray(tables[b].codes),
+                 jnp.asarray(tables[b].lengths), out_words, nchunks)
+        for b in range(B)
+    ]
+    words = [e[0] for e in ent]
+    total_bits = [int(e[1]) for e in ent]
+    chunk_offsets = np.stack([np.asarray(e[2]) for e in ent])
+    ms = np.asarray([int(x) for x in ms])
+    idx0s = np.asarray([int(x) for x in idx0s])
     payloads = []
     for b in range(B):
-        m, idx0, tb = int(ms[b]), int(idx0s[b]), int(total_bits[b])
+        m, idx0, tb = int(ms[b]), int(idx0s[b]), total_bits[b]
         nw = -(-tb // 32)
         lens = np.asarray(tables[b].lengths, np.uint8)
         lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
@@ -257,7 +264,7 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         if mode & 1:
             a = anchors_b[b].astype("<u4")
             payload += struct.pack("<I", a.shape[0]) + a.tobytes()
-        payload += words[b, :nw].astype("<u4").tobytes()
+        payload += np.asarray(words[b][:nw]).astype("<u4").tobytes()
         payloads.append(payload)
     return payloads
 
@@ -320,17 +327,20 @@ def decompress(buf: bytes) -> bytes:
             table = HuffmanTable.from_lengths(lengths, MAX_LEN)
             luts_s.append(table.lut_sym)
             luts_l.append(table.lut_len)
-        args = (
-            jnp.asarray(words_b), jnp.asarray(tb_b), jnp.asarray(m_b),
-            jnp.asarray(idx0_b), jnp.asarray(np.stack(luts_s)),
-            jnp.asarray(np.stack(luts_l)), jnp.asarray(offs_b),
-        )
-        if all_anchored:
-            blocks = _inverse_anchored_batch(*args, jnp.asarray(anch_b), cap)
-        else:
-            blocks = _inverse_batch(*args, cap)
-        blocks = np.asarray(blocks)
-        parts.extend(blocks[j, : ns[j]] for j in range(B))
+        outs = []
+        for j in range(B):
+            args = (
+                jnp.asarray(words_b[j]), jnp.int32(tb_b[j]),
+                jnp.int32(m_b[j]), jnp.int32(idx0_b[j]),
+                jnp.asarray(luts_s[j]), jnp.asarray(luts_l[j]),
+                jnp.asarray(offs_b[j]),
+            )
+            if all_anchored:
+                outs.append(_inverse_anchored(*args, jnp.asarray(anch_b[j]),
+                                              cap))
+            else:
+                outs.append(_inverse(*args, cap))
+        parts.extend(np.asarray(outs[j])[: ns[j]] for j in range(B))
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")
