@@ -1,0 +1,125 @@
+"""Suffix array, parallel-primitive wrappers, autotune, filters."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpulc.primitives import parallel as par
+from tpulc.primitives.suffix import sa_to_bwt, suffix_array, suffix_array_np
+
+
+@pytest.mark.parametrize(
+    "s", [b"banana", b"mississippi", b"aaaa", b"abcabc", b"x"]
+)
+def test_suffix_array_small(s):
+    arr = np.frombuffer(s, np.uint8)
+    got = np.asarray(suffix_array(jnp.asarray(arr)))
+    np.testing.assert_array_equal(got, suffix_array_np(arr))
+
+
+def test_suffix_array_random_and_text():
+    rng = np.random.default_rng(11)
+    for data in (
+        rng.integers(0, 4, size=3000).astype(np.uint8),
+        np.frombuffer(
+            open("/root/reference/cuda-lzss-unknown/pg1661.txt", "rb")
+            .read()[:5000], np.uint8
+        ),
+    ):
+        got = np.asarray(suffix_array(jnp.asarray(data)))
+        np.testing.assert_array_equal(got, suffix_array_np(data))
+
+
+def test_sa_to_bwt_matches_rotation_bwt_when_sentinel():
+    # with a unique smallest sentinel, suffix order == rotation order
+    from tpulc.codecs.bwt.rotsort import bwt_encode_np
+
+    data = np.frombuffer(b"banana\x00", np.uint8)
+    sa = suffix_array(jnp.asarray(data))
+    bwt, idx0 = sa_to_bwt(jnp.asarray(data), sa)
+    want, want_idx = bwt_encode_np(data)
+    np.testing.assert_array_equal(np.asarray(bwt), want)
+    assert int(idx0) == want_idx
+
+
+def test_scans():
+    x = jnp.asarray(np.array([3, 1, 4, 1, 5], np.int32))
+    np.testing.assert_array_equal(np.asarray(par.scan(x)), [3, 4, 8, 9, 14])
+    np.testing.assert_array_equal(
+        np.asarray(par.scan(x, exclusive=True)), [0, 3, 4, 8, 9]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(par.scan(x, op=jnp.maximum)), [3, 3, 4, 4, 5]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(par.scan(x, reverse=True)), [14, 11, 10, 6, 5]
+    )
+
+
+def test_segmented_scan():
+    x = jnp.asarray(np.array([1, 2, 3, 4, 5], np.int32))
+    f = jnp.asarray(np.array([1, 0, 1, 0, 0], np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(par.segmented_scan(x, f)), [1, 3, 3, 7, 12]
+    )
+
+
+def test_compact():
+    x = jnp.asarray(np.array([9, 8, 7, 6], np.int32))
+    m = jnp.asarray(np.array([True, False, True, False]))
+    out, cnt = par.compact(x, m)
+    assert int(cnt) == 2
+    np.testing.assert_array_equal(np.asarray(out)[:2], [9, 7])
+
+
+def test_sort_and_multisplit():
+    k = jnp.asarray(np.array([3, 1, 3, 2], np.int32))
+    v = jnp.asarray(np.array([0, 1, 2, 3], np.int32))
+    ks, vs = par.sort_pairs(k, v)
+    np.testing.assert_array_equal(np.asarray(vs), [1, 3, 0, 2])
+    vals, starts = par.multisplit(v, k, 4)
+    np.testing.assert_array_equal(np.asarray(starts), [0, 0, 1, 2])
+
+
+def test_listrank_matches_ibwt_semantics():
+    # simple 4-cycle: 0->2->1->3->0
+    nxt = jnp.asarray(np.array([2, 3, 1, 0], np.int32))
+    r = np.asarray(par.listrank(nxt, jnp.int32(0)))
+    # rank = steps from head 0 to node: 0:0, 2:1, 1:2, 3:3
+    np.testing.assert_array_equal(r, [0, 2, 1, 3])
+
+
+def test_autotune_bounds():
+    from tpulc.codecs.huffman.autotune import optimal_sub_bits
+
+    assert optimal_sub_bits(0, 0, 12) == 128
+    v = optimal_sub_bits(10_000_000, 2_000_000, 12)
+    assert 128 <= v <= 4096 and v % 32 == 0
+
+
+def test_filters_roundtrip():
+    from tpulc.codecs.bsclike.filters import (
+        block_reverse,
+        record_reorder,
+        record_reorder_inverse,
+    )
+
+    rng = np.random.default_rng(12)
+    data = jnp.asarray(rng.integers(0, 256, size=1003).astype(np.uint8))
+    for rs in (4, 16):
+        fwd = record_reorder(data, rs)
+        back = record_reorder_inverse(fwd, rs)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(data))
+    np.testing.assert_array_equal(
+        np.asarray(block_reverse(block_reverse(data))), np.asarray(data)
+    )
+
+
+def test_segment_detector():
+    from tpulc.codecs.bsclike.filters import detect_segments
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 4, size=1 << 17).astype(np.uint8)
+    b = rng.integers(200, 256, size=1 << 17).astype(np.uint8)
+    bounds = detect_segments(np.concatenate([a, b]))
+    assert any(abs(x - (1 << 17)) <= (1 << 16) for x in bounds)

@@ -1,0 +1,134 @@
+"""Data-parallel primitive library (the L1 layer, SURVEY.md §1).
+
+The reference vendors ~100k LoC of GPU primitives (cub radix sort,
+moderngpu scan/merge, thrust, b40c — §2.4 "Primitive library") and
+cudpp exposes them as its public API (`cudpp.h:200-363`).  On TPU these
+are `jax.lax` one-liners; this module gives them the cudpp-shaped
+surface (scan / segmented scan / compact / reduce / sorts / merge) so
+codec code and users have one place to reach for them, with tests
+pinning semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def scan(x, op=jnp.add, exclusive: bool = False, reverse: bool = False):
+    """cudppScan: inclusive/exclusive forward/backward scans."""
+    assoc = {jnp.add: jnp.add, jnp.maximum: jnp.maximum,
+             jnp.minimum: jnp.minimum}.get(op, op)
+    incl = jax.lax.associative_scan(assoc, x, reverse=reverse, axis=0)
+    if not exclusive:
+        return incl
+    ident = _identity_for(op, x.dtype)
+    if reverse:
+        return jnp.concatenate([incl[1:], jnp.full((1,), ident, x.dtype)])
+    return jnp.concatenate([jnp.full((1,), ident, x.dtype), incl[:-1]])
+
+
+def _identity_for(op, dtype):
+    if op is jnp.add:
+        return 0
+    if op is jnp.maximum:
+        return jnp.iinfo(dtype).min if jnp.issubdtype(dtype, jnp.integer) \
+            else -jnp.inf
+    if op is jnp.minimum:
+        return jnp.iinfo(dtype).max if jnp.issubdtype(dtype, jnp.integer) \
+            else jnp.inf
+    raise ValueError("unknown identity")
+
+
+def segmented_scan(x, flags, op=jnp.add):
+    """cudppSegmentedScan: inclusive scan restarting at flag positions.
+
+    Implemented as an associative scan over (value, flag) pairs — the
+    classic segmented-scan monoid.
+    """
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, op(av, bv)), af | bf
+
+    vals, _ = jax.lax.associative_scan(
+        combine, (x, flags.astype(bool)), axis=0
+    )
+    return vals
+
+
+def compact(x, mask, fill=0):
+    """cudppCompact: stable-compact masked elements to the front.
+
+    Returns (compacted array of same length padded with `fill`, count).
+    """
+    n = x.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - mask.astype(jnp.int32)
+    tgt = jnp.where(mask, pos, n)
+    out = jnp.full((n,), fill, x.dtype).at[tgt].set(x, mode="drop")
+    return out, jnp.sum(mask.astype(jnp.int32))
+
+
+def reduce(x, op=jnp.add):
+    """cudppReduce."""
+    if op is jnp.add:
+        return jnp.sum(x)
+    if op is jnp.maximum:
+        return jnp.max(x)
+    if op is jnp.minimum:
+        return jnp.min(x)
+    raise ValueError("unknown op")
+
+
+def sort_pairs(keys, values, stable: bool = True):
+    """cudppRadixSort/cudppMergeSort: key-value sort."""
+    k, v = jax.lax.sort((keys, values), num_keys=1, is_stable=stable)
+    return k, v
+
+
+def sort_strings(packed_prefix, indices):
+    """cudppStringSort's role for fixed packed prefixes: sort uint32
+    prefix keys carrying string indices (ties keep index order)."""
+    return sort_pairs(packed_prefix, indices)
+
+
+def merge_sorted(a, b):
+    """moderngpu Merge: merge two sorted arrays (same dtype)."""
+    both = jnp.concatenate([a, b])
+    return jnp.sort(both)
+
+
+def multisplit(x, buckets, num_buckets: int):
+    """cudppMultiSplit: stable partition by bucket id.
+
+    Returns (reordered values, bucket start offsets [num_buckets]).
+    """
+    b, v = jax.lax.sort(
+        (buckets.astype(jnp.int32), x), num_keys=1, is_stable=True
+    )
+    counts = jnp.zeros((num_buckets,), jnp.int32).at[b].add(1, mode="drop")
+    starts = jnp.cumsum(counts) - counts
+    return v, starts
+
+
+def listrank(next_idx, head):
+    """cudppListRank: rank of each node along a linked list, by pointer
+    doubling (the machinery behind tpulc's inverse BWT)."""
+    n = next_idx.shape[0]
+    rounds = max(1, (n - 1).bit_length())
+    state = jnp.stack(
+        [next_idx, jnp.ones((n,), jnp.int32)], axis=1
+    )
+
+    def body(_, st):
+        ptr = st[:, 0]
+        tgt = st[ptr]
+        live = (ptr != head)[:, None]
+        upd = jnp.stack([tgt[:, 0], st[:, 1] + tgt[:, 1]], axis=1)
+        return jnp.where(live, upd, st)
+
+    st = jax.lax.fori_loop(0, rounds, body, state)
+    d = st[:, 1]
+    total = d[head]
+    return (total - d) % jnp.maximum(total, 1)
