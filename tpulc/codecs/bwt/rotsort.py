@@ -38,11 +38,13 @@ def bwt_encode(data: jax.Array, tie_desc: bool = False):
     """
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Densify initial ranks to 0..n-1 (the loop's uniqueness exit test
-    # compares against n-1, so raw byte values would terminate early).
+    # Initial ranks from the 3-byte prefix (24-bit exact keys): one
+    # sort covers what three 1-byte doubling rounds would, and dense
+    # renumbering keeps the loop's uniqueness exit test valid.
     byte = data.astype(jnp.int32)
-    _, order0 = jax.lax.sort((byte, idx), num_keys=1, is_stable=True)
-    b_sorted = byte[order0]
+    key3 = (byte << 16) | (jnp.roll(byte, -1) << 8) | jnp.roll(byte, -2)
+    _, order0 = jax.lax.sort((key3, idx), num_keys=1, is_stable=True)
+    b_sorted = key3[order0]
     grp0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
     )
@@ -72,7 +74,7 @@ def bwt_encode(data: jax.Array, tie_desc: bool = False):
         rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
         return rank, k * 2
 
-    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(1)))
+    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(3)))
     # Final order: by rank, ties by original position.
     tie_key = (n - 1) - idx if tie_desc else idx
     _, tk = jax.lax.sort((rank, tie_key), num_keys=2, is_stable=True)
@@ -151,8 +153,9 @@ def bwt_encode_anchored(data: jax.Array, anchor_stride: int = 1024):
     R = -(-n // S)
     idx = jnp.arange(n, dtype=jnp.int32)
     byte = data.astype(jnp.int32)
-    _, order0 = jax.lax.sort((byte, idx), num_keys=1, is_stable=True)
-    b_sorted = byte[order0]
+    key3 = (byte << 16) | (jnp.roll(byte, -1) << 8) | jnp.roll(byte, -2)
+    _, order0 = jax.lax.sort((key3, idx), num_keys=1, is_stable=True)
+    b_sorted = key3[order0]
     grp0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
@@ -176,7 +179,7 @@ def bwt_encode_anchored(data: jax.Array, anchor_stride: int = 1024):
         rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.cumsum(newgrp))
         return rank, k * 2
 
-    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(1)))
+    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(3)))
     ok = jnp.max(rank) == n - 1
     _, order = jax.lax.sort((rank, idx), num_keys=1, is_stable=True)
     last = data[(order - 1) % n]
