@@ -13,7 +13,7 @@ def _rand(n, seed, alphabet=256):
 
 
 @pytest.mark.parametrize("alphabet", [2, 16, 256])
-@pytest.mark.parametrize("n", [64, 128, 4096])
+@pytest.mark.parametrize("n", [128, 4096])
 def test_mtf_encode_matches_gold(n, alphabet):
     data = _rand(n, n + alphabet, alphabet)
     want = mtf_encode_np(data)
@@ -21,7 +21,7 @@ def test_mtf_encode_matches_gold(n, alphabet):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("n", [64, 512, 8192])
+@pytest.mark.parametrize("n", [128, 512, 8192])
 def test_mtf_roundtrip(n):
     data = _rand(n, n)
     enc = mtf_encode(jnp.asarray(data))

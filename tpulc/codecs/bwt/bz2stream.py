@@ -357,7 +357,8 @@ def compress_block_bits(bw: BitWriter, block: np.ndarray,
     # MTF/RLE2 are causal: pad to the kernel grid, trim after.  The
     # rank pad value 255 (a literal) cleanly closes any trailing zero
     # run, and pad literals map 1:1 so a count-trim is exact.
-    pad = (-len(remapped)) % 64
+    from tpulc.primitives.mtf import DEFAULT_CHUNK as _MC
+    pad = (-len(remapped)) % _MC
     rpad = np.concatenate([remapped, np.zeros(pad, np.uint8)])
     ranks = np.array(mtf_encode(jnp.asarray(rpad)))
     ranks[len(remapped):] = 255

@@ -52,7 +52,7 @@ _NIBBLES = (ALPHABET + 1) // 2 + ((ALPHABET + 1) % 2)  # 129 bytes
 
 
 def _cap_for(block_size: int) -> int:
-    return -(-block_size // 64) * 64  # MTF chunk multiple
+    return -(-block_size // 128) * 128  # MTF chunk multiple
 
 
 ANCHOR_STRIDE = 1024

@@ -30,7 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-DEFAULT_CHUNK = 64  # cudpp's MTF_PER_THREAD (`cudpp_globals.h:54`)
+DEFAULT_CHUNK = 128  # 2x cudpp MTF_PER_THREAD (`cudpp_globals.h:54`): halves the
+# inverse permutation-composition scan volume (the decode hotspot)
 
 
 def _move_to_front(table: jax.Array, rank: jax.Array, value: jax.Array):
