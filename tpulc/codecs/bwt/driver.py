@@ -52,7 +52,7 @@ _NIBBLES = (ALPHABET + 1) // 2 + ((ALPHABET + 1) % 2)  # 129 bytes
 
 
 def _cap_for(block_size: int) -> int:
-    return -(-block_size // 128) * 128  # MTF chunk multiple
+    return -(-block_size // 256) * 256  # MTF-chunk and CHUNK_SYMS multiple
 
 
 ANCHOR_STRIDE = 1024
@@ -80,7 +80,8 @@ def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
     sym_codes = jnp.where(valid, codes[syms], 0).astype(jnp.uint32)
     words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
     off = jnp.cumsum(sym_lens) - sym_lens
-    chunk_offsets = off[::CHUNK_SYMS][:nchunks].astype(jnp.int32)
+    # cap is a CHUNK_SYMS multiple: reshape beats a strided gather
+    chunk_offsets = off.reshape(-1, CHUNK_SYMS)[:nchunks, 0].astype(jnp.int32)
     chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < m
     chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
     return words, total_bits, chunk_offsets
