@@ -72,6 +72,35 @@ def _forward(block):
     return syms, m, idx0, hist, anchors, ok
 
 
+@partial(jax.jit, static_argnames=("anchor_count",))
+def _forward_packed(block, anchor_count: int):
+    """_forward with all small outputs packed into ONE int32 array:
+    [m, idx0, ok, hist(257), anchors(R)].  Device->host roundtrips
+    through the remote tunnel cost ~30-50ms each regardless of size,
+    so the driver pulls exactly one buffer per stage."""
+    syms, m, idx0, hist, anchors, ok = _forward(block)
+    meta = jnp.concatenate([
+        jnp.stack([m, idx0, ok.astype(jnp.int32)]),
+        hist,
+        anchors[:anchor_count],
+    ])
+    return syms, meta
+
+
+@partial(jax.jit, static_argnames=("out_words", "nchunks"))
+def _entropy_packed(syms, m, codes, lengths, out_words: int, nchunks: int):
+    """_entropy with [total_bits, chunk_offsets(nchunks), words] packed
+    into one uint32 array (single D2H pull)."""
+    words, total_bits, chunk_offsets = _entropy(
+        syms, m, codes, lengths, out_words, nchunks
+    )
+    return jnp.concatenate([
+        jnp.reshape(total_bits, (1,)).astype(jnp.uint32),
+        chunk_offsets.astype(jnp.uint32),
+        words,
+    ])
+
+
 @partial(jax.jit, static_argnames=("out_words", "nchunks"))
 def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
     cap = syms.shape[0]
@@ -228,26 +257,31 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     per-dispatch overhead is ~1ms — so sequential wins.
     """
     B, cap = blocks.shape
-    per = [_forward(jnp.asarray(blocks[b])) for b in range(B)]
+    R = -(-cap // ANCHOR_STRIDE)
+    per = [_forward_packed(jnp.asarray(blocks[b]), R) for b in range(B)]
     syms = [p[0] for p in per]
-    ms = [p[1] for p in per]
-    idx0s = [p[2] for p in per]
-    hists = np.stack([np.asarray(p[3]) for p in per])
-    anchors_b = np.stack([np.asarray(p[4]) for p in per])
-    ok_b = np.asarray([bool(p[5]) for p in per])
+    metas = [np.asarray(p[1]) for p in per]  # one pull per block
+    ms = [int(mt[0]) for mt in metas]
+    idx0s = [int(mt[1]) for mt in metas]
+    ok_b = np.asarray([bool(mt[2]) for mt in metas])
+    hists = np.stack([mt[3: 3 + ALPHABET] for mt in metas])
+    anchors_b = np.stack([mt[3 + ALPHABET:] for mt in metas])
     tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
     out_words = -(-cap * MAX_LEN // 32)
     nchunks = max(1, -(-cap // CHUNK_SYMS))
     ent = [
-        _entropy(syms[b], ms[b], jnp.asarray(tables[b].codes),
-                 jnp.asarray(tables[b].lengths), out_words, nchunks)
+        np.asarray(_entropy_packed(
+            syms[b], jnp.int32(ms[b]), jnp.asarray(tables[b].codes),
+            jnp.asarray(tables[b].lengths), out_words, nchunks,
+        ))
         for b in range(B)
     ]
-    words = [e[0] for e in ent]
-    total_bits = [int(e[1]) for e in ent]
-    chunk_offsets = np.stack([np.asarray(e[2]) for e in ent])
-    ms = np.asarray([int(x) for x in ms])
-    idx0s = np.asarray([int(x) for x in idx0s])
+    total_bits = [int(e[0]) for e in ent]
+    chunk_offsets = np.stack([e[1: 1 + nchunks].astype(np.int32)
+                              for e in ent])
+    words = [e[1 + nchunks:] for e in ent]
+    ms = np.asarray(ms)
+    idx0s = np.asarray(idx0s)
     payloads = []
     for b in range(B):
         m, idx0, tb = int(ms[b]), int(idx0s[b]), total_bits[b]
