@@ -123,3 +123,37 @@ def test_segment_detector():
     b = rng.integers(200, 256, size=1 << 17).astype(np.uint8)
     bounds = detect_segments(np.concatenate([a, b]))
     assert any(abs(x - (1 << 17)) <= (1 << 16) for x in bounds)
+
+
+def test_dc3_matches_naive_and_device():
+    from tpulc.primitives.dc3 import dc3_suffix_array
+
+    rng = np.random.default_rng(14)
+    for data in (
+        np.frombuffer(b"abracadabra", np.uint8),
+        rng.integers(0, 3, size=2000).astype(np.uint8),
+        np.frombuffer(
+            open("/root/reference/cuda-lzss-unknown/pg1661.txt", "rb")
+            .read()[:4000], np.uint8
+        ),
+    ):
+        want = suffix_array_np(data)
+        np.testing.assert_array_equal(dc3_suffix_array(data), want)
+        np.testing.assert_array_equal(
+            np.asarray(suffix_array(jnp.asarray(data))), want
+        )
+
+
+def test_dc3_as_oracle_for_device_sa_large():
+    """DC3 (O(n)) lets us cross-check the device SA at sizes where the
+    naive gold would be quadratic-slow."""
+    from tpulc.primitives.dc3 import dc3_suffix_array
+
+    data = np.frombuffer(
+        open("/root/reference/cuda-lzss-unknown/pg1661.txt", "rb")
+        .read()[:120000], np.uint8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(suffix_array(jnp.asarray(data))),
+        dc3_suffix_array(data),
+    )
