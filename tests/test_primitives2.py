@@ -157,3 +157,30 @@ def test_dc3_as_oracle_for_device_sa_large():
         np.asarray(suffix_array(jnp.asarray(data))),
         dc3_suffix_array(data),
     )
+
+
+def test_mtf_pallas_kernel_interpret():
+    """Pallas MTF lockstep kernel semantics (interpret mode; see the
+    module docstring for the TPU-compile status)."""
+    from tpulc.primitives.mtf import _move_to_front
+    from tpulc.primitives.mtf_pallas import mtf_decode_phase_pallas
+
+    def ref_phase(table0, ranks):
+        def step(table, col):
+            sym = jnp.take_along_axis(table, col[:, None], axis=1)[:, 0]
+            return _move_to_front(table, col, sym), sym
+
+        import jax
+
+        _, syms = jax.lax.scan(step, table0, ranks.T)
+        return syms.T
+
+    rng = np.random.default_rng(15)
+    t0 = np.stack([rng.permutation(256) for _ in range(16)]).astype(np.int32)
+    r = rng.integers(0, 256, size=(16, 128)).astype(np.int32)
+    got = np.asarray(
+        mtf_decode_phase_pallas(jnp.asarray(t0), jnp.asarray(r),
+                                interpret=True)
+    )
+    want = np.asarray(ref_phase(jnp.asarray(t0), jnp.asarray(r)))
+    np.testing.assert_array_equal(got, want)
