@@ -1,0 +1,81 @@
+"""Multi-device scaling benchmark for the sharded bz transform.
+
+BASELINE config 5 calls for >= 85% scaling efficiency on block-sharded
+compression.  On a real pod slice this script runs as-is over the ICI
+mesh; in this environment (one physical chip) it demonstrates the
+measurement on the virtual CPU mesh:
+
+    JAX_PLATFORMS='' python bench_scaling.py          # 8-way CPU mesh
+
+Prints one JSON line: per-device-count wall time and efficiency vs the
+single-device run (blocks are embarrassingly parallel; the only
+collective is the all_gather of per-block symbol counts).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if jax.default_backend() != "cpu" and len(jax.devices()) == 1:
+        # single real chip: force the virtual CPU mesh for the
+        # demonstration (a pod slice would skip this)
+        jax.config.update("jax_platforms", "cpu")
+
+    from tpulc.dist.mesh import make_mesh
+    from tpulc.dist.sharded import sharded_bz_forward
+
+    n_dev = len(jax.devices())
+    block_size = 1 << 16
+    n_blocks = 2 * n_dev  # fixed problem per device count sweep below
+
+    results = {}
+    for k in sorted({1, 2, n_dev} | {n_dev}):
+        if k > n_dev:
+            continue
+        mesh = make_mesh(k)
+        step, make_args = sharded_bz_forward(mesh, block_size)
+        # strong scaling: same total work for every k
+        total_blocks = n_dev * 2
+        if total_blocks % k:
+            total_blocks = k * (total_blocks // k + 1)
+        args = make_args(total_blocks, rng_seed=1)
+        out = step(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = step(*args)
+        jax.block_until_ready(out)
+        results[k] = (time.perf_counter() - t0) / 3
+
+    base = results[1] if 1 in results else next(iter(results.values()))
+    eff = {
+        k: round(base / (t * k), 3) for k, t in results.items()
+    }
+    out = {
+        "metric": "bz_sharded_scaling",
+        "devices": {str(k): round(t, 4) for k, t in results.items()},
+        "efficiency_vs_1dev": eff,
+        "backend": jax.default_backend(),
+    }
+    if jax.default_backend() == "cpu":
+        out["note"] = (
+            "virtual CPU devices share the host's cores: this run "
+            "validates the sharded program, not scaling; run on a pod "
+            "slice for ICI efficiency numbers"
+        )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    import os
+
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    main()
