@@ -19,14 +19,23 @@ def _pg(n):
         return f.read()[:n]
 
 
+# every case is exactly CASE_LEN bytes so the jitted encoder/decoder
+# compile once and are reused across the whole matrix
+CASE_LEN = 10240
+
+
+def _fit(b: bytes) -> bytes:
+    return (b * (CASE_LEN // len(b) + 1))[:CASE_LEN]
+
+
 CASES = {
-    "text": lambda: _pg(20000),
-    "runs": lambda: b"abcabcabc" * 2000,
+    "text": lambda: _pg(CASE_LEN),
+    "runs": lambda: _fit(b"abcabcabc"),
     "random": lambda: np.random.default_rng(3).integers(
-        0, 256, size=8000
+        0, 256, size=CASE_LEN
     ).astype(np.uint8).tobytes(),
-    "spaces": lambda: b"   leading spaces match the virtual window   " * 100,
-    "binary": lambda: bytes(range(256)) * 40,
+    "spaces": lambda: _fit(b"   leading spaces match the virtual window   "),
+    "binary": lambda: _fit(bytes(range(256))),
 }
 
 
@@ -57,7 +66,7 @@ def test_tpu_roundtrip_and_size(name):
 
 
 def test_container_roundtrip():
-    data = _pg(80000)
+    data = _pg(65536)
     comp = driver.compress(data, block_size=65536)
     assert driver.decompress(comp) == data
 
@@ -75,7 +84,7 @@ def test_exact_mode_matches_reference_size():
     """exact=True reproduces brute.c longest-match lengths, so the
     greedy parse and compressed size equal the reference encoder's
     (BASELINE config 1 requires size <= reference)."""
-    data = _pg(24000)
+    data = _pg(CASE_LEN)
     enc = driver.compress_raw(data, exact=True)
     ref = gold_encode(data)
     assert len(enc) == len(ref), (len(enc), len(ref))

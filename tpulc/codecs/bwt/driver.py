@@ -260,7 +260,8 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     R = -(-cap // ANCHOR_STRIDE)
     per = [_forward_packed(jnp.asarray(blocks[b]), R) for b in range(B)]
     syms = [p[0] for p in per]
-    metas = [np.asarray(p[1]) for p in per]  # one pull per block
+    m_dev = [p[1][0] for p in per]           # device scalars for entropy
+    metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
     ms = [int(mt[0]) for mt in metas]
     idx0s = [int(mt[1]) for mt in metas]
     ok_b = np.asarray([bool(mt[2]) for mt in metas])
@@ -269,13 +270,14 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
     out_words = -(-cap * MAX_LEN // 32)
     nchunks = max(1, -(-cap // CHUNK_SYMS))
-    ent = [
-        np.asarray(_entropy_packed(
-            syms[b], jnp.int32(ms[b]), jnp.asarray(tables[b].codes),
+    ent_dev = [
+        _entropy_packed(
+            syms[b], m_dev[b], jnp.asarray(tables[b].codes),
             jnp.asarray(tables[b].lengths), out_words, nchunks,
-        ))
+        )
         for b in range(B)
     ]
+    ent = np.asarray(jnp.stack(ent_dev))  # ONE pull for the batch
     total_bits = [int(e[0]) for e in ent]
     chunk_offsets = np.stack([e[1: 1 + nchunks].astype(np.int32)
                               for e in ent])
@@ -375,7 +377,10 @@ def decompress(buf: bytes) -> bytes:
                                               cap))
             else:
                 outs.append(_inverse(*args, cap))
-        parts.extend(np.asarray(outs[j])[: ns[j]] for j in range(B))
+        # one D2H pull for the whole group (per-pull tunnel latency
+        # dwarfs the extra bytes)
+        stacked = np.asarray(jnp.stack(outs))
+        parts.extend(stacked[j, : ns[j]] for j in range(B))
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")
