@@ -55,10 +55,11 @@ def _encode_block(block, n, codes, lengths, out_words: int, nchunks: int):
     return words, total_bits, chunk_offsets
 
 
-@partial(jax.jit, static_argnames=("max_len", "n_out"))
+@partial(jax.jit, static_argnames=("max_len", "n_out", "sub_bits"))
 def _decode_block_selfsync(words, total_bits, lut_sym, lut_len,
-                           max_len: int, n_out: int):
-    return huffman_decode(words, total_bits, n_out, lut_sym, lut_len, max_len)
+                           max_len: int, n_out: int, sub_bits: int = 512):
+    return huffman_decode(words, total_bits, n_out, lut_sym, lut_len,
+                          max_len, sub_bits=sub_bits)
 
 
 @partial(jax.jit, static_argnames=("max_len", "n_out"))
@@ -138,10 +139,13 @@ def decompress_block(payload: bytes, max_len: int = DEFAULT_MAX_LEN,
             max_len, cap, jnp.asarray(offs_p),
         )
         return np.asarray(out[:n])
+    from tpulc.codecs.huffman.autotune import optimal_sub_bits
+
+    sub_bits = optimal_sub_bits(total_bits, n, max_len)
     out, n_valid = _decode_block_selfsync(
         jnp.asarray(words_p), jnp.int32(total_bits),
         jnp.asarray(table.lut_sym), jnp.asarray(table.lut_len),
-        max_len, cap,
+        max_len, cap, sub_bits,
     )
     assert int(n_valid) >= n, "self-sync decode lost symbols"
     return np.asarray(out[:n])
