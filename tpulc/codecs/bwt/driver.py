@@ -37,7 +37,10 @@ from tpulc.codecs.bwt.rotsort import (
     bwt_decode_anchored,
     bwt_encode_anchored,
 )
-from tpulc.codecs.huffman.decode import huffman_decode_aligned
+from tpulc.codecs.huffman.decode import (
+    huffman_decode_uniform,
+    huffman_decode_uniform_packed,
+)
 from tpulc.codecs.huffman.tables import HuffmanTable
 from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_BZ
@@ -66,9 +69,14 @@ def _forward(block):
     syms, m = rle2_encode(ranks)
     cap = block.shape[0]
     masked = jnp.where(jnp.arange(cap, dtype=jnp.int32) < m, syms, ALPHABET)
-    hist = jnp.zeros((ALPHABET + 1,), jnp.int32).at[masked].add(
-        1, mode="drop"
-    )[:ALPHABET]
+    # Histogram via sort + binary-searched bucket edges: a 1M scatter-add
+    # costs ~3.7ms on TPU, the sort ~1ms and the 258-point searchsorted
+    # is noise.
+    s_sorted = jax.lax.sort((masked,), num_keys=1)[0]
+    edges = jnp.searchsorted(
+        s_sorted, jnp.arange(ALPHABET + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    hist = jnp.diff(edges)
     return syms, m, idx0, hist, anchors, ok
 
 
@@ -101,12 +109,37 @@ def _entropy_packed(syms, m, codes, lengths, out_words: int, nchunks: int):
     ])
 
 
+@partial(jax.jit, static_argnames=("out_words", "nchunks", "take"))
+def _entropy_take(syms, m, codes, lengths, out_words: int, nchunks: int,
+                  take: int):
+    """_entropy_packed truncated to `take` words: the host knows the
+    exact stream size in advance (total_bits = hist . lengths), so only
+    a tight bucket of the padded word buffer crosses the tunnel."""
+    words, total_bits, chunk_offsets = _entropy(
+        syms, m, codes, lengths, out_words, nchunks
+    )
+    return jnp.concatenate([
+        jnp.reshape(total_bits, (1,)).astype(jnp.uint32),
+        chunk_offsets.astype(jnp.uint32),
+        words[:take],
+    ])
+
+
 @partial(jax.jit, static_argnames=("out_words", "nchunks"))
 def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
     cap = syms.shape[0]
     valid = jnp.arange(cap, dtype=jnp.int32) < m
-    sym_lens = jnp.where(valid, lengths[syms], 0)
-    sym_codes = jnp.where(valid, codes[syms], 0).astype(jnp.uint32)
+    # (code, len) ride one packed table looked up via one-hot matmul:
+    # a 257-entry table gather of 900K indices costs ~8ms on TPU while
+    # the MXU one-hot contraction does it in ~2ms (values < 2^19 are
+    # exact in f32).
+    packed_tab = ((codes.astype(jnp.int32) << 4) | lengths).astype(
+        jnp.float32
+    )
+    oh = jax.nn.one_hot(syms, packed_tab.shape[0], dtype=jnp.float32)
+    packed = (oh @ packed_tab).astype(jnp.int32)
+    sym_lens = jnp.where(valid, packed & 15, 0)
+    sym_codes = jnp.where(valid, packed >> 4, 0).astype(jnp.uint32)
     words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
     off = jnp.cumsum(sym_lens) - sym_lens
     # cap is a CHUNK_SYMS multiple: reshape beats a strided gather
@@ -118,23 +151,57 @@ def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
 
 @partial(jax.jit, static_argnames=("cap",))
 def _inverse(words, total_bits, m, idx0, lut_sym, lut_len, offs, cap: int):
-    sym_offsets = jnp.arange(offs.shape[0], dtype=jnp.int32) * CHUNK_SYMS
-    syms = huffman_decode_aligned(
+    syms = huffman_decode_uniform(
         words, total_bits, cap, lut_sym, lut_len, MAX_LEN,
-        offs, sym_offsets, out_dtype=jnp.int32,
+        offs, CHUNK_SYMS, out_dtype=jnp.int32,
     )
     ranks, _ = rle2_decode(syms, m)
     last = mtf_decode(ranks)
     return bwt_decode(last, idx0)
 
 
+@partial(jax.jit, static_argnames=("cap", "w_pad"))
+def _inverse_packed(row, cap: int, w_pad: int):
+    """Anchored inverse of one block from a single packed uint32 row:
+
+        [0] total_bits  [1] m  [2] idx0  [3] flags
+        [4:4+65]    257 code lengths as bytes (u32 little-endian)
+        [69:69+ccap]          chunk bit offsets
+        [69+ccap:69+ccap+R]   decode anchors
+        [...:...+w_pad]       entropy stream words
+
+    The whole batch ships as ONE uint32 H2D put; the 2^MAX_LEN decode
+    LUT is rebuilt on device from the 257 lengths (shipping it would
+    cost ~256KB/block through the tunnel; rebuilding is <1ms)."""
+    from tpulc.codecs.huffman.device_tables import canonical_lut_packed
+
+    ccap = max(1, -(-cap // CHUNK_SYMS))
+    R = -(-cap // ANCHOR_STRIDE)
+    total_bits = row[0].astype(jnp.int32)
+    m = row[1].astype(jnp.int32)
+    lens_u8 = jax.lax.bitcast_convert_type(
+        row[4: 4 + 65], jnp.uint8
+    ).reshape(-1)
+    lengths = lens_u8[:ALPHABET].astype(jnp.int32)
+    offs = row[69: 69 + ccap].astype(jnp.int32)
+    anchors = row[69 + ccap: 69 + ccap + R].astype(jnp.int32)
+    words = row[69 + ccap + R: 69 + ccap + R + w_pad]
+    lut_packed = canonical_lut_packed(lengths, MAX_LEN)
+    syms = huffman_decode_uniform_packed(
+        words, total_bits, cap, lut_packed, MAX_LEN,
+        offs, CHUNK_SYMS, out_dtype=jnp.int32,
+    )
+    ranks, _ = rle2_decode(syms, m)
+    last = mtf_decode(ranks)
+    return bwt_decode_anchored(last, anchors[0], anchors, ANCHOR_STRIDE)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def _inverse_anchored(words, total_bits, m, idx0, lut_sym, lut_len, offs,
                       anchors, cap: int):
-    sym_offsets = jnp.arange(offs.shape[0], dtype=jnp.int32) * CHUNK_SYMS
-    syms = huffman_decode_aligned(
+    syms = huffman_decode_uniform(
         words, total_bits, cap, lut_sym, lut_len, MAX_LEN,
-        offs, sym_offsets, out_dtype=jnp.int32,
+        offs, CHUNK_SYMS, out_dtype=jnp.int32,
     )
     ranks, _ = rle2_decode(syms, m)
     last = mtf_decode(ranks)
@@ -247,6 +314,21 @@ _inverse_anchored_batch = jax.jit(
 
 MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
 
+_BUCKET0 = 4096  # minimum D2H word-pull granularity (16 KiB)
+
+_row = jax.jit(
+    lambda x, i: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
+)
+
+
+def _bucket_words(nw: int, out_words: int) -> int:
+    """Round a word count up to a power-of-two bucket (bounds the set of
+    compiled truncation programs and keeps pulls tight)."""
+    b = _BUCKET0
+    while b < nw:
+        b *= 2
+    return min(b, out_words)
+
 
 def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     """blocks uint8[B, cap] (zero-padded), ns true sizes -> payloads.
@@ -255,10 +337,17 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     vmapped batch runs ~1.7x SLOWER than back-to-back single-block
     programs (batched multi-operand sorts vectorize worse), and
     per-dispatch overhead is ~1ms — so sequential wins.
+
+    Tunnel discipline (remote device): ONE H2D put of the whole batch,
+    ONE small D2H pull of the stacked transform metadata, and one
+    grouped D2H pull of the entropy streams truncated to power-of-two
+    word buckets (the host computes each block's exact bit count from
+    hist . lengths before the entropy stage runs).
     """
     B, cap = blocks.shape
     R = -(-cap // ANCHOR_STRIDE)
-    per = [_forward_packed(jnp.asarray(blocks[b]), R) for b in range(B)]
+    dev_blocks = jnp.asarray(blocks)  # ONE upload
+    per = [_forward_packed(_row(dev_blocks, b), R) for b in range(B)]
     syms = [p[0] for p in per]
     m_dev = [p[1][0] for p in per]           # device scalars for entropy
     metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
@@ -270,30 +359,37 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
     out_words = -(-cap * MAX_LEN // 32)
     nchunks = max(1, -(-cap // CHUNK_SYMS))
+    # exact stream size ahead of the device: total_bits = hist . lengths
+    tbs = [int((hists[b].astype(np.int64) * tables[b].lengths).sum())
+           for b in range(B)]
+    takes = [_bucket_words(-(-tbs[b] // 32), out_words) for b in range(B)]
     ent_dev = [
-        _entropy_packed(
+        _entropy_take(
             syms[b], m_dev[b], jnp.asarray(tables[b].codes),
-            jnp.asarray(tables[b].lengths), out_words, nchunks,
+            jnp.asarray(tables[b].lengths), out_words, nchunks, takes[b],
         )
         for b in range(B)
     ]
-    ent = np.asarray(jnp.stack(ent_dev))  # ONE pull for the batch
-    total_bits = [int(e[0]) for e in ent]
-    chunk_offsets = np.stack([e[1: 1 + nchunks].astype(np.int32)
-                              for e in ent])
-    words = [e[1 + nchunks:] for e in ent]
-    ms = np.asarray(ms)
-    idx0s = np.asarray(idx0s)
+    # group same-bucket blocks into one stacked pull each
+    ent: list = [None] * B
+    groups: dict[int, list[int]] = {}
+    for b, t in enumerate(takes):
+        groups.setdefault(t, []).append(b)
+    for t, idxs in groups.items():
+        pulled = np.asarray(jnp.stack([ent_dev[b] for b in idxs]))
+        for j, b in enumerate(idxs):
+            ent[b] = pulled[j]
     payloads = []
     for b in range(B):
-        m, idx0, tb = int(ms[b]), int(idx0s[b]), total_bits[b]
+        m, idx0, tb = ms[b], idx0s[b], int(ent[b][0])
+        assert tb == tbs[b], "device/host bit-count mismatch"
         nw = -(-tb // 32)
         lens = np.asarray(tables[b].lengths, np.uint8)
         lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
         lens_pad[:ALPHABET] = lens
         nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
         used_chunks = max(1, -(-m // CHUNK_SYMS))
-        offs = chunk_offsets[b, :used_chunks].astype("<u4")
+        offs = ent[b][1: 1 + used_chunks].astype("<u4")
         mode = 1 if (bool(ok_b[b]) and 4 * anchors_b.shape[1] * 20
                      < nw * 4) else 0
         payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode) + nibbles
@@ -301,7 +397,9 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         if mode & 1:
             a = anchors_b[b].astype("<u4")
             payload += struct.pack("<I", a.shape[0]) + a.tobytes()
-        payload += np.asarray(words[b][:nw]).astype("<u4").tobytes()
+        payload += ent[b][1 + nchunks: 1 + nchunks + nw].astype(
+            "<u4"
+        ).tobytes()
         payloads.append(payload)
     return payloads
 
@@ -330,57 +428,73 @@ def compress(data: bytes | np.ndarray, block_size: int = 900_000) -> bytes:
     return c.to_bytes()
 
 
+def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
+    """All-anchored fast path: ONE u32 H2D put carrying every block's
+    scalars + lengths + offsets + anchors + words, device-built LUTs,
+    ONE stacked D2H pull of the outputs.  Returns device rows or None
+    when some block lacks anchors (caller falls back)."""
+    out_words = -(-cap * MAX_LEN // 32)
+    ccap = max(1, -(-cap // CHUNK_SYMS))
+    n_anch = -(-cap // ANCHOR_STRIDE)
+    B = len(group)
+    parsed = [_parse_block(p) for p in group]
+    if any(p[6] is None or p[6].shape[0] != n_anch for p in parsed):
+        return None
+    nw_max = max(-(-p[3] // 32) for p in parsed)
+    w_pad = _bucket_words(max(nw_max, 1), out_words)
+    K = 69 + ccap + n_anch + w_pad
+    arr = np.zeros((B, K), np.uint32)
+    ns = []
+    for j, (n, m, idx0, tb, lengths, bit_offsets, anchors, words) in \
+            enumerate(parsed):
+        ns.append(n)
+        arr[j, 0], arr[j, 1], arr[j, 2], arr[j, 3] = tb, m, idx0, 1
+        lens_pad = np.zeros(260, np.uint8)
+        lens_pad[:ALPHABET] = lengths.astype(np.uint8)
+        arr[j, 4: 4 + 65] = lens_pad.view("<u4")
+        arr[j, 69: 69 + ccap] = tb
+        arr[j, 69: 69 + bit_offsets.shape[0]] = bit_offsets.astype(
+            np.uint32
+        )
+        a0 = 69 + ccap
+        arr[j, a0: a0 + n_anch] = anchors.astype(np.uint32)
+        w0 = a0 + n_anch
+        arr[j, w0: w0 + words.shape[0]] = words
+    dev = jnp.asarray(arr)  # ONE upload for the batch
+    outs = [_inverse_packed(_row(dev, j), cap, w_pad) for j in range(B)]
+    stacked = np.asarray(jnp.stack(outs))  # ONE pull
+    return [stacked[j, : ns[j]] for j in range(B)]
+
+
 def decompress(buf: bytes) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_BZ
     cap = _cap_for(c.block_size)
     wcap = -(-cap * MAX_LEN // 32)
     ccap = max(1, -(-cap // CHUNK_SYMS))
-    n_anch = -(-cap // ANCHOR_STRIDE)
     parts = []
     for i in range(0, len(c.payloads), MAX_BATCH):
         group = c.payloads[i: i + MAX_BATCH]
-        B = len(group)
-        words_b = np.zeros((B, wcap), np.uint32)
-        offs_b = np.zeros((B, ccap), np.int32)
-        anch_b = np.zeros((B, n_anch), np.int32)
-        tb_b = np.zeros((B,), np.int32)
-        m_b = np.zeros((B,), np.int32)
-        idx0_b = np.zeros((B,), np.int32)
-        ns = []
-        luts_s, luts_l = [], []
-        all_anchored = True
-        for j, payload in enumerate(group):
-            n, m, idx0, tb, lengths, bit_offsets, anchors, words =                 _parse_block(payload)
-            ns.append(n)
-            words_b[j, : words.shape[0]] = words
-            offs_b[j] = tb
-            offs_b[j, : bit_offsets.shape[0]] = bit_offsets
-            if anchors is not None and anchors.shape[0] == n_anch:
-                anch_b[j] = anchors
-            else:
-                all_anchored = False
-            tb_b[j], m_b[j], idx0_b[j] = tb, m, idx0
+        fast = _decompress_batch_packed(group, cap)
+        if fast is not None:
+            parts.extend(fast)
+            continue
+        # fallback: per-block host LUTs + metadata-free doubling decode
+        for payload in group:
+            n, m, idx0, tb, lengths, bit_offsets, anchors, words = \
+                _parse_block(payload)
+            words_p = np.zeros(wcap, np.uint32)
+            words_p[: words.shape[0]] = words
+            offs_p = np.full(ccap, tb, np.int32)
+            offs_p[: bit_offsets.shape[0]] = bit_offsets
             table = HuffmanTable.from_lengths(lengths, MAX_LEN)
-            luts_s.append(table.lut_sym)
-            luts_l.append(table.lut_len)
-        outs = []
-        for j in range(B):
             args = (
-                jnp.asarray(words_b[j]), jnp.int32(tb_b[j]),
-                jnp.int32(m_b[j]), jnp.int32(idx0_b[j]),
-                jnp.asarray(luts_s[j]), jnp.asarray(luts_l[j]),
-                jnp.asarray(offs_b[j]),
+                jnp.asarray(words_p), jnp.int32(tb), jnp.int32(m),
+                jnp.int32(idx0), jnp.asarray(table.lut_sym),
+                jnp.asarray(table.lut_len), jnp.asarray(offs_p),
             )
-            if all_anchored:
-                outs.append(_inverse_anchored(*args, jnp.asarray(anch_b[j]),
-                                              cap))
-            else:
-                outs.append(_inverse(*args, cap))
-        # one D2H pull for the whole group (per-pull tunnel latency
-        # dwarfs the extra bytes)
-        stacked = np.asarray(jnp.stack(outs))
-        parts.extend(stacked[j, : ns[j]] for j in range(B))
+            block = _inverse(*args, cap)
+            parts.append(np.asarray(block)[:n])
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")

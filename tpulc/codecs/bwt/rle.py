@@ -57,23 +57,28 @@ def rle2_encode(ranks: jax.Array):
 
     # Scatter one record per token (literal or run start), then derive
     # run digits elementwise: output slot t of a run starting at output
-    # offset o carries bit (t - o) of M.  Two scatters + one max-scan
-    # replace per-digit scatter passes (scatters are the costly
-    # primitive on TPU).
+    # offset o carries bit (t - o) of M.  One scatter + one
+    # "latest record" scan replace per-digit scatter passes and the
+    # record gather (scatters/gathers are the costly primitives on TPU).
     tok = ~z | is_run_start
     tok_tgt = jnp.where(tok, off, n)
-    # record: run start -> M | RUNBIT, literal -> r+1 (one packed int)
+    # record: run start -> M | RUNBIT, literal -> r+1 (one packed int);
+    # every record is > 0, so zero marks "no token at this slot".
     RUNBIT = jnp.int32(1 << 30)
     rec = jnp.where(z, M | RUNBIT, r + 1)
     rec_at = jnp.zeros((n + 1,), jnp.int32).at[tok_tgt].set(rec, mode="drop")
-    start_at = jnp.full((n + 1,), -1, jnp.int32).at[tok_tgt].set(
-        off, mode="drop"
-    )
     oidx = jnp.arange(n, dtype=jnp.int32)
-    owner = jnp.maximum(
-        jax.lax.associative_scan(jnp.maximum, start_at[:n]), 0
+
+    def latest(a, b):
+        p1, v1 = a
+        p2, v2 = b
+        take2 = p2 >= 0
+        return jnp.where(take2, p2, p1), jnp.where(take2, v2, v1)
+
+    owner, o_rec = jax.lax.associative_scan(
+        latest, (jnp.where(rec_at[:n] > 0, oidx, -1), rec_at[:n])
     )
-    o_rec = rec_at[owner]  # the single gather of this stage
+    owner = jnp.maximum(owner, 0)
     is_run_slot = (o_rec & RUNBIT) != 0
     digit = (o_rec >> jnp.clip(oidx - owner, 0, 29)) & 1
     out = jnp.where(is_run_slot, digit, o_rec)

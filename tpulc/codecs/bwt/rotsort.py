@@ -17,6 +17,12 @@ position's distance to the primary index, which IS its output position
 multi-cyclic, and the modulo handles exactly that case; libbsc's
 restart-index parallel unbwt, `bwt.cpp:359`, solves the same problem
 with stored metadata, which this formulation does not need).
+
+TPU cost model note (measured on v5e): `lax.sort` of 1M int32 runs in
+~1.3-2ms while a 1M scatter costs ~3.7ms and a 1M gather ~7.3ms.  So
+permutation application/inversion goes through sorts: inverting a
+permutation is one key-value sort (`_scatter_perm`), and the BWT last
+column rides the final sort as a payload operand instead of a gather.
 """
 
 from __future__ import annotations
@@ -25,6 +31,53 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _scatter_perm(order: jax.Array, values: jax.Array) -> jax.Array:
+    """out[order[i]] = values[i] for a permutation `order` — via one
+    key-value sort (4x faster than a scatter on TPU)."""
+    return jax.lax.sort((order, values), num_keys=1)[1]
+
+
+def _rank_rounds(rank0, idx, n):
+    """Shared doubling loop: refine rotation ranks until unique."""
+
+    def cond(state):
+        rank, k = state
+        return (k < n) & (jnp.max(rank) < n - 1)
+
+    def body(state):
+        rank, k = state
+        # rank[(i + k) mod n] is a circular shift — no gather needed.
+        key2 = jnp.roll(rank, -k)
+        r1, r2, order = jax.lax.sort(
+            (rank, key2, idx), num_keys=2, is_stable=True
+        )
+        # sorted keys come straight from the sort operands; the rank
+        # scatter is a key-value sort (see module docstring).
+        newgrp = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
+            ]
+        )
+        rank = _scatter_perm(order, jnp.cumsum(newgrp))
+        return rank, k * 2
+
+    return jax.lax.while_loop(cond, body, (rank0, jnp.int32(3)))
+
+
+def _initial_rank(data, idx, n):
+    """Dense ranks from the 3-byte prefix (24-bit exact keys): one sort
+    covers what three 1-byte doubling rounds would."""
+    byte = data.astype(jnp.int32)
+    key3 = (byte << 16) | (jnp.roll(byte, -1) << 8) | jnp.roll(byte, -2)
+    k_sorted, order0 = jax.lax.sort((key3, idx), num_keys=1, is_stable=True)
+    grp0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (k_sorted[1:] != k_sorted[:-1]).astype(jnp.int32)]
+    )
+    return _scatter_perm(order0, jnp.cumsum(grp0))
 
 
 @partial(jax.jit, static_argnames=("tie_desc",))
@@ -38,48 +91,23 @@ def bwt_encode(data: jax.Array, tie_desc: bool = False):
     """
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Initial ranks from the 3-byte prefix (24-bit exact keys): one
-    # sort covers what three 1-byte doubling rounds would, and dense
-    # renumbering keeps the loop's uniqueness exit test valid.
-    byte = data.astype(jnp.int32)
-    key3 = (byte << 16) | (jnp.roll(byte, -1) << 8) | jnp.roll(byte, -2)
-    _, order0 = jax.lax.sort((key3, idx), num_keys=1, is_stable=True)
-    b_sorted = key3[order0]
-    grp0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
-    )
-    rank0 = jnp.zeros((n,), jnp.int32).at[order0].set(jnp.cumsum(grp0))
-
-    def cond(state):
-        rank, k = state
-        return (k < n) & (jnp.max(rank) < n - 1)
-
-    def body(state):
-        rank, k = state
-        # rank[(i + k) mod n] is a circular shift — no gather needed.
-        key2 = jnp.roll(rank, -k)
-        r1, r2, order = jax.lax.sort(
-            (rank, key2, idx), num_keys=2, is_stable=True
-        )
-        # sorted keys come straight from the sort operands: the only
-        # random-access op per round is the rank scatter (gathers are
-        # the expensive primitive on TPU; sorts are cheap).
-        newgrp = jnp.concatenate(
-            [
-                jnp.zeros((1,), jnp.int32),
-                ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32),
-            ]
-        )
-        rank_sorted = jnp.cumsum(newgrp)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-        return rank, k * 2
-
-    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(3)))
-    # Final order: by rank, ties by original position.
+    rank, _ = _rank_rounds(_initial_rank(data, idx, n), idx, n)
+    # Final order: by rank, ties by original position.  The last column
+    # and the original index ride the sort as payloads: last[j] =
+    # data[(order[j]-1) mod n] = roll(data, 1)[order[j]].
+    prev = jnp.roll(data, 1)
     tie_key = (n - 1) - idx if tie_desc else idx
-    _, tk = jax.lax.sort((rank, tie_key), num_keys=2, is_stable=True)
-    order = ((n - 1) - tk) if tie_desc else tk
-    last = data[(order - 1) % n]
+    if tie_desc:
+        # the payload rides with its row: row j of the result is
+        # rotation order[j] = (n-1) - tk[j], and carries prev[order[j]].
+        _, tk, last = jax.lax.sort(
+            (rank, tie_key, prev), num_keys=2, is_stable=True
+        )
+        order = (n - 1) - tk
+    else:
+        _, order, last = jax.lax.sort(
+            (rank, tie_key, prev), num_keys=2, is_stable=True
+        )
     idx0 = jnp.argmax(order == 0).astype(jnp.int32)
     return last, idx0
 
@@ -94,7 +122,7 @@ def bwt_decode(last: jax.Array, idx0: jax.Array) -> jax.Array:
     # (symbol, position): position j is the (rank-in-sorted)'th
     # occurrence overall, which equals C[L[j]] + occ directly.
     _, order = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
-    T = jnp.zeros((n,), jnp.int32).at[order].set(idx)
+    T = _scatter_perm(order, idx)
 
     # Pointer doubling: d[i] = steps from i to idx0 along T
     # (d[idx0] = its cycle length p).  ptr and d ride one [n, 2] array
@@ -116,8 +144,10 @@ def bwt_decode(last: jax.Array, idx0: jax.Array) -> jax.Array:
 
     # Backward-walk convention: out[n-1-k] = L[T^k(idx0)], and node i is
     # visited at k == (p - d[i]) mod p.  So out[j] = cyc[(n-1-j) mod p].
+    # In-cycle slots are unique in [0, p): the slot sort compacts them
+    # to the front in slot order (out-of-cycle slots sort to the tail).
     slot = jnp.where(in_cycle, (p - d) % p, n)
-    cyc = jnp.zeros((n,), jnp.uint8).at[slot].set(last, mode="drop")
+    _, cyc = jax.lax.sort((slot, last), num_keys=1)
     j = jnp.arange(n, dtype=jnp.int32)
     return cyc[(n - 1 - j) % p]
 
@@ -152,37 +182,11 @@ def bwt_encode_anchored(data: jax.Array, anchor_stride: int = 1024):
     S = anchor_stride
     R = -(-n // S)
     idx = jnp.arange(n, dtype=jnp.int32)
-    byte = data.astype(jnp.int32)
-    key3 = (byte << 16) | (jnp.roll(byte, -1) << 8) | jnp.roll(byte, -2)
-    _, order0 = jax.lax.sort((key3, idx), num_keys=1, is_stable=True)
-    b_sorted = key3[order0]
-    grp0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
-    )
-    rank0 = jnp.zeros((n,), jnp.int32).at[order0].set(jnp.cumsum(grp0))
-
-    def cond(state):
-        rank, k = state
-        return (k < n) & (jnp.max(rank) < n - 1)
-
-    def body(state):
-        rank, k = state
-        key2 = jnp.roll(rank, -k)
-        r1, r2, order = jax.lax.sort(
-            (rank, key2, idx), num_keys=2, is_stable=True
-        )
-        newgrp = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32),
-             ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32)]
-        )
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.cumsum(newgrp))
-        return rank, k * 2
-
-    rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(3)))
+    rank, _ = _rank_rounds(_initial_rank(data, idx, n), idx, n)
     ok = jnp.max(rank) == n - 1
-    _, order = jax.lax.sort((rank, idx), num_keys=1, is_stable=True)
-    last = data[(order - 1) % n]
+    prev = jnp.roll(data, 1)
+    _, order, last = jax.lax.sort((rank, idx, prev), num_keys=1,
+                                  is_stable=True)
     idx0 = jnp.argmax(order == 0).astype(jnp.int32)
     j = jnp.arange(R, dtype=jnp.int32)
     anchors = rank[(n - j * S) % n]
@@ -202,15 +206,30 @@ def bwt_decode_anchored(last: jax.Array, idx0: jax.Array,
     sym = last.astype(jnp.int32)
     idx = jnp.arange(n, dtype=jnp.int32)
     _, order = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
-    T = jnp.zeros((n,), jnp.int32).at[order].set(idx)
+    T = _scatter_perm(order, idx)
     del idx0  # anchors[0] == idx0 by construction
 
     out0 = jnp.zeros((S, R), jnp.uint8)
 
-    def body(t, st):
-        p, out = st
-        out = jax.lax.dynamic_update_slice(out, last[p][None, :], (t, 0))
-        return T[p], out
+    if n <= (1 << 23):
+        # Pack (T, last) into one int32 so each serial LF step costs a
+        # single gather (the loop is latency-bound at R-sized gathers).
+        TL = T | (last.astype(jnp.int32) << 23)
+        mask = jnp.int32((1 << 23) - 1)
+
+        def body(t, st):
+            p, out = st
+            e = TL[p]
+            row = (e >> 23).astype(jnp.uint8)[None, :]
+            out = jax.lax.dynamic_update_slice(out, row, (t, 0))
+            return e & mask, out
+    else:
+        def body(t, st):
+            p, out = st
+            out = jax.lax.dynamic_update_slice(
+                out, last[p][None, :], (t, 0)
+            )
+            return T[p], out
 
     _, out = jax.lax.fori_loop(0, S, body, (anchors, out0))
     lin = out.T.reshape(-1)[::-1]  # lin[R*S-1-k] = symbol at step k

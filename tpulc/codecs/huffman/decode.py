@@ -211,3 +211,71 @@ def huffman_decode_aligned(
 
     _, _, out = jax.lax.while_loop(cond, body, (pos0, chunk_sym_offsets, out0))
     return out
+
+
+def huffman_decode_uniform(
+    words: jax.Array,
+    total_bits: jax.Array,
+    n_out: int,
+    lut_sym: jax.Array,
+    lut_len: jax.Array,
+    max_len: int,
+    chunk_bit_offsets: jax.Array,
+    chunk_syms: int,
+    out_dtype=jnp.uint8,
+):
+    """Aligned decode for UNIFORM chunks (chunk i starts at output index
+    i*chunk_syms).  Output positions are then fully determined by the
+    loop step, so each iteration writes one row of a step-major
+    [chunk_syms, nchunks] matrix via dynamic_update_slice — no scatter
+    at all (a per-step scatter dominates `huffman_decode_aligned`'s
+    runtime on TPU).  Symbol and length LUTs ride one packed table:
+    one gather per step instead of two."""
+    # packed entry: sym << 4 | len  (len <= 15)
+    lut_packed = (
+        (lut_sym.astype(jnp.int32) << 4) | lut_len.astype(jnp.int32)
+    )
+    return huffman_decode_uniform_packed(
+        words, total_bits, n_out, lut_packed, max_len,
+        chunk_bit_offsets, chunk_syms, out_dtype,
+    )
+
+
+def huffman_decode_uniform_packed(
+    words: jax.Array,
+    total_bits: jax.Array,
+    n_out: int,
+    lut_packed: jax.Array,
+    max_len: int,
+    chunk_bit_offsets: jax.Array,
+    chunk_syms: int,
+    out_dtype=jnp.uint8,
+):
+    """`huffman_decode_uniform` taking the (sym << 4 | len) packed LUT
+    directly (e.g. built on device by
+    `device_tables.canonical_lut_packed`)."""
+    nsub = chunk_bit_offsets.shape[0]
+    assert nsub * chunk_syms >= n_out
+    words_p = _pad_words(words)
+    L = max_len
+    ends = jnp.concatenate(
+        [chunk_bit_offsets[1:],
+         jnp.reshape(total_bits, (1,)).astype(jnp.int32)]
+    )
+    out0 = jnp.zeros((chunk_syms, nsub), out_dtype)
+
+    def body(t, state):
+        pos, out = state
+        active = pos < ends
+        win = peek_bits(words_p, pos, L).astype(jnp.int32)
+        p = lut_packed[win]
+        step = p & 15
+        step = jnp.where(step == 0, 1, step)
+        sym = jnp.where(active, p >> 4, 0).astype(out0.dtype)
+        out = jax.lax.dynamic_update_slice(out, sym[None, :], (t, 0))
+        pos = pos + jnp.where(active, step, 0)
+        return pos, out
+
+    _, out = jax.lax.fori_loop(0, chunk_syms, body,
+                               (chunk_bit_offsets, out0))
+    return out.T.reshape(-1)[:n_out]

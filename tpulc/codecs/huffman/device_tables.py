@@ -1,0 +1,110 @@
+"""On-device canonical Huffman table construction.
+
+The host builds optimal code *lengths* (package-merge,
+`tables.py`, mirroring cuhd `llhuffman_encoder.cc:18`); everything
+derivable from lengths — canonical codes and the flat 2^L decode LUT
+(`llhuffman_encoder.cc:160,240`) — can be rebuilt on device from the
+257-byte lengths vector.  This matters through a remote-device tunnel:
+shipping the 2^15-entry LUT costs ~256KB per block, the lengths cost
+257 bytes, and the device rebuild is <1ms of vector ops.
+
+The construction matches `tables.canonical_codes` exactly: codes
+assigned shorter-first, ties by symbol index.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def canonical_lut_packed(lengths: jax.Array, max_len: int) -> jax.Array:
+    """lengths int32[S] -> packed decode LUT int32[2^L]: (sym << 4) | len.
+
+    Windows not covered by any codeword (possible only for degenerate /
+    corrupt length sets) get entry 0, which decoders treat as a 1-bit
+    skip.
+    """
+    S = lengths.shape[0]
+    L = max_len
+    lens = jnp.clip(lengths.astype(jnp.int32), 0, L)
+
+    # counts per code length (tiny scatter-add over <= 16 bins)
+    cnt = jnp.zeros((L + 1,), jnp.int32).at[lens].add(
+        jnp.where(lens > 0, 1, 0)
+    )
+    # first canonical code per length: fc[l] = (fc[l-1] + cnt[l-1]) << 1
+    fc = [jnp.int32(0)] * (L + 1)
+    for l in range(1, L + 1):
+        fc[l] = (fc[l - 1] + cnt[l - 1]) << 1
+    # symbols with length < l (rank base into the sorted-symbol list)
+    cum = [jnp.int32(0)] * (L + 1)
+    for l in range(1, L + 1):
+        cum[l] = cum[l - 1] + cnt[l - 1]
+
+    # symbols sorted by (length, symbol); zero-length symbols last
+    syms = jnp.arange(S, dtype=jnp.int32)
+    sort_key = jnp.where(lens > 0, lens, L + 1) * (2 * S) + syms
+    _, syms_sorted = jax.lax.sort((sort_key, syms), num_keys=1)
+
+    # per-window codeword length: window w matches length l iff its
+    # l-bit prefix falls in [fc[l], fc[l] + cnt[l])
+    w = jnp.arange(1 << L, dtype=jnp.int32)
+    lval = jnp.zeros((1 << L,), jnp.int32)
+    for l in range(1, L + 1):
+        pref = w >> (L - l)
+        hit = (pref >= fc[l]) & (pref < fc[l] + cnt[l])
+        lval = jnp.where((lval == 0) & hit, l, lval)
+
+    # rank of the matched codeword inside the sorted-symbol list
+    fcv = jnp.zeros_like(w)
+    cumv = jnp.zeros_like(w)
+    shv = jnp.zeros_like(w)
+    for l in range(1, L + 1):
+        m = lval == l
+        fcv = jnp.where(m, fc[l], fcv)
+        cumv = jnp.where(m, cum[l], cumv)
+        shv = jnp.where(m, L - l, shv)
+    j = cumv + (w >> shv) - fcv
+    sym = syms_sorted[jnp.clip(j, 0, S - 1)]
+    return jnp.where(lval > 0, (sym << 4) | lval, 0)
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def canonical_codes_device(lengths: jax.Array, max_len: int):
+    """lengths int32[S] -> (codes uint32[S], lengths int32[S]).
+
+    Same assignment as `tables.canonical_codes`: within a length, codes
+    increase with symbol index.
+    """
+    S = lengths.shape[0]
+    L = max_len
+    lens = jnp.clip(lengths.astype(jnp.int32), 0, L)
+    cnt = jnp.zeros((L + 1,), jnp.int32).at[lens].add(
+        jnp.where(lens > 0, 1, 0)
+    )
+    fc = [jnp.int32(0)] * (L + 1)
+    for l in range(1, L + 1):
+        fc[l] = (fc[l - 1] + cnt[l - 1]) << 1
+
+    # rank within same length = # earlier symbols with the same length
+    syms = jnp.arange(S, dtype=jnp.int32)
+    sort_key = jnp.where(lens > 0, lens, L + 1) * (2 * S) + syms
+    _, order = jax.lax.sort((sort_key, syms), num_keys=1)
+    # position in sorted list, back in symbol order
+    pos_sorted = jnp.arange(S, dtype=jnp.int32)
+    pos = jax.lax.sort((order, pos_sorted), num_keys=1)[1]
+    cum = [jnp.int32(0)] * (L + 1)
+    for l in range(1, L + 1):
+        cum[l] = cum[l - 1] + cnt[l - 1]
+    fcv = jnp.zeros((S,), jnp.int32)
+    cumv = jnp.zeros((S,), jnp.int32)
+    for l in range(1, L + 1):
+        m = lens == l
+        fcv = jnp.where(m, fc[l], fcv)
+        cumv = jnp.where(m, cum[l], cumv)
+    codes = jnp.where(lens > 0, fcv + (pos - cumv), 0)
+    return codes.astype(jnp.uint32), lens

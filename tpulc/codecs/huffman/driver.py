@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpulc.codecs.huffman.tables import DEFAULT_MAX_LEN, HuffmanTable
-from tpulc.codecs.huffman.decode import huffman_decode, huffman_decode_aligned
+from tpulc.codecs.huffman.decode import huffman_decode, huffman_decode_uniform
 from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_HUFFMAN
 from tpulc.primitives.bits import pack_bits
@@ -65,10 +65,9 @@ def _decode_block_selfsync(words, total_bits, lut_sym, lut_len,
 @partial(jax.jit, static_argnames=("max_len", "n_out"))
 def _decode_block_aligned(words, total_bits, lut_sym, lut_len,
                           max_len: int, n_out: int, bit_offsets):
-    sym_offsets = jnp.arange(bit_offsets.shape[0], dtype=jnp.int32) * CHUNK_SYMS
-    return huffman_decode_aligned(
+    return huffman_decode_uniform(
         words, total_bits, n_out, lut_sym, lut_len, max_len,
-        bit_offsets, sym_offsets,
+        bit_offsets, CHUNK_SYMS,
     )
 
 

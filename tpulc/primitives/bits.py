@@ -8,10 +8,19 @@ the VPU, so packing is reformulated as:
 
     1. exclusive prefix-sum of the per-item bit lengths -> bit offsets,
     2. each item contributes to at most two 32-bit words (shift/mask),
-    3. two disjoint-bit scatter-adds build the output words.
+    3. a segmented OR-scan over equal-word runs + one compaction sort
+       assembles the words (no scatters: on TPU a 1M-element scatter
+       costs ~2.5x a sort and ~4x an associative scan).
 
-Because every item's bit range is disjoint, integer `add` == bitwise
-`or`, so plain scatter-add works and no atomicity is needed at all.
+The scatter-free assembly relies on two structural facts: bit offsets
+are monotone, so all codes starting in word w form a contiguous run;
+and any code is <= 32 bits, so every word in the used range contains at
+least one code start (a code can cross at most one word boundary), and
+at most one code crosses into each word — the last code of the
+preceding word's run.  Word w is then `OR(lo of run w) | hi(last code
+of run w-1)`, both available from one segmented scan; the per-word rows
+compact to the front with a single key sort because run indices are
+exactly 0..W_used-1.
 
 Bit order convention (the whole framework uses it): MSB-first within a
 32-bit unit, units in increasing order — the same convention as the
@@ -50,8 +59,11 @@ def pack_bits(codes: jax.Array, lengths: jax.Array, out_words: int):
     """
     codes = codes.astype(_U32)
     lengths = lengths.astype(jnp.int32)
+    n = codes.shape[0]
+    if n == 0:
+        return jnp.zeros((out_words,), _U32), jnp.int32(0)
     off = exclusive_cumsum(lengths)
-    total_bits = (off[-1] + lengths[-1]) if codes.shape[0] > 0 else jnp.int32(0)
+    total_bits = off[-1] + lengths[-1]
 
     word = (off >> 5).astype(jnp.int32)
     bit = (off & 31).astype(jnp.int32)
@@ -68,10 +80,38 @@ def pack_bits(codes: jax.Array, lengths: jax.Array, out_words: int):
     lo = jnp.where(nonzero, lo, _U32(0))
     hi = jnp.where(nonzero, hi, _U32(0))
 
-    words = jnp.zeros((out_words,), dtype=_U32)
-    words = words.at[word].add(lo, mode="drop")
-    words = words.at[word + 1].add(hi, mode="drop")
-    return words, total_bits
+    # Segmented inclusive OR over equal-`word` runs (word is monotone).
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), word[1:] != word[:-1]]
+    )
+
+    def comb(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return f1 | f2, jnp.where(f2, v2, v1 | v2)
+
+    _, or_incl = jax.lax.associative_scan(comb, (first, lo))
+    is_end = jnp.concatenate(
+        [word[:-1] != word[1:], jnp.ones((1,), bool)]
+    )
+    # Compact per-word rows to the front: run w's end-item gets key w,
+    # everything else sorts behind the used range.
+    key = jnp.where(is_end, word, jnp.int32(2 ** 30))
+    key_c, or_c, hi_c = jax.lax.sort((key, or_incl, hi), num_keys=1)
+    pad = max(0, out_words - n)
+    zpad = jnp.zeros((pad,), _U32)
+    big = jnp.full((pad,), 2 ** 30, jnp.int32)
+    wi = jnp.arange(out_words, dtype=jnp.int32)
+    # A word without any code start (possible only for the final word,
+    # when the last code spills into it) has no run: its compacted row
+    # is garbage, so gate rows on the key actually matching.
+    has_run = jnp.concatenate([key_c, big])[:out_words] == wi
+    or_w = jnp.where(has_run, jnp.concatenate([or_c, zpad])[:out_words],
+                     _U32(0))
+    hi_w = jnp.concatenate([hi_c, zpad])[:out_words]
+    hi_prev = jnp.concatenate([jnp.zeros((1,), _U32), hi_w[:-1]])
+    wused = (total_bits + 31) >> 5
+    return jnp.where(wi < wused, or_w | hi_prev, _U32(0)), total_bits
 
 
 def peek_bits(words: jax.Array, bitpos: jax.Array, width: int) -> jax.Array:

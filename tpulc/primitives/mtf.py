@@ -35,8 +35,13 @@ DEFAULT_CHUNK = 128  # 2x cudpp MTF_PER_THREAD (`cudpp_globals.h:54`): halves th
 
 
 def _move_to_front(table: jax.Array, rank: jax.Array, value: jax.Array):
-    """table [B,256]; move position `rank` (holding `value`) to front."""
-    pos = jnp.arange(table.shape[1], dtype=jnp.int32)[None, :]
+    """table [B,256]; move position `rank` (holding `value`) to front.
+
+    Tables ride in uint8 (all entries are symbols/positions < 256):
+    the scan loops stream [B,256] state every step, so element width
+    is directly HBM traffic on the decode hot path.
+    """
+    pos = jnp.arange(table.shape[1], dtype=jnp.uint8)[None, :]
     shifted = jnp.concatenate([value[:, None], table[:, :-1]], axis=1)
     return jnp.where(pos <= rank[:, None], shifted, table)
 
@@ -48,7 +53,7 @@ def mtf_encode(data: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     n = data.shape[0]
     assert n % chunk == 0, "pad input to a multiple of `chunk`"
     nchunks = n // chunk
-    d = data.reshape(nchunks, chunk).astype(jnp.int32)
+    d = data.astype(jnp.uint8).reshape(nchunks, chunk)
 
     # Per-chunk recency: global position of last occurrence of each symbol.
     gpos = (
@@ -56,7 +61,7 @@ def mtf_encode(data: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     )
     recency = jnp.full((nchunks, 256), -1, jnp.int32)
     recency = recency.at[
-        jnp.arange(nchunks, dtype=jnp.int32)[:, None], d
+        jnp.arange(nchunks, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
     ].max(gpos)
 
     # Exclusive max-scan -> recency of each symbol before the chunk starts.
@@ -69,17 +74,17 @@ def mtf_encode(data: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     # then unseen symbols in natural order (initial table = identity).
     syms = jnp.arange(256, dtype=jnp.int32)[None, :]
     key = jnp.where(before >= 0, before, -2 - syms)
-    order = jnp.argsort(-key, axis=1, stable=True).astype(jnp.int32)
+    order = jnp.argsort(-key, axis=1, stable=True).astype(jnp.uint8)
     table0 = order  # order holds symbol values (identity gathered)
 
     # Lockstep serial encode inside chunks, vectorized across chunks.
     def step(table, col):
         eq = table == col[:, None]
-        rank = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        rank = jnp.argmax(eq, axis=1).astype(jnp.uint8)
         return _move_to_front(table, rank, col), rank
 
     _, ranks = jax.lax.scan(step, table0, d.T)
-    return ranks.T.reshape(n).astype(jnp.uint8)
+    return ranks.T.reshape(n)
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -88,25 +93,37 @@ def mtf_decode(ranks: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     n = ranks.shape[0]
     assert n % chunk == 0, "pad input to a multiple of `chunk`"
     nchunks = n // chunk
-    r = ranks.reshape(nchunks, chunk).astype(jnp.int32)
+    r = ranks.astype(jnp.uint8).reshape(nchunks, chunk)
 
     # Build each chunk's positional permutation serially (C steps),
     # vectorized across chunks: perm' = perm o p_step, where p_step
     # moves position `rank` to the front.
     ident = jnp.broadcast_to(
-        jnp.arange(256, dtype=jnp.int32)[None, :], (nchunks, 256)
+        jnp.arange(256, dtype=jnp.uint8)[None, :], (nchunks, 256)
     )
 
+    # Row-wise single-element gathers (take_along_axis on the lane
+    # axis) lower poorly on TPU (~150us/step); a masked lane-max
+    # reduction fetches perm[col] fully vectorized instead.
+    pos = jnp.arange(256, dtype=jnp.uint8)[None, :]
+
     def build(perm, col):
-        return _move_to_front(perm, col, jnp.take_along_axis(
-            perm, col[:, None], axis=1
-        )[:, 0]), None
+        val = jnp.max(jnp.where(pos == col[:, None], perm, 0), axis=1)
+        return _move_to_front(perm, col, val), None
 
     chunk_perm, _ = jax.lax.scan(build, ident, r.T)
 
-    # Exclusive composition scan: (a o b)[i] = a[b[i]].
+    # Exclusive composition scan: (a o b)[i] = a[b[i]].  The row-wise
+    # gather is two lane-wise 256-element sorts (invert b, then scatter
+    # a by the inverse) — ~20x faster than take_along_axis on TPU,
+    # where lane-dimension sorts are native and lane gathers are not.
     def compose(a, b):
-        return jnp.take_along_axis(a, b, axis=1)
+        iota = jnp.broadcast_to(
+            jnp.arange(256, dtype=jnp.uint8)[None], b.shape
+        )
+        _, inv_b = jax.lax.sort((b, iota), num_keys=1, dimension=1)
+        _, c = jax.lax.sort((inv_b, a), num_keys=1, dimension=1)
+        return c
 
     incl = jax.lax.associative_scan(compose, chunk_perm, axis=0)
     table0 = jnp.concatenate([ident[:1], incl[:-1]], axis=0)
@@ -114,11 +131,11 @@ def mtf_decode(ranks: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     # the identity — i.e. the permutation itself.
 
     def step(table, col):
-        sym = jnp.take_along_axis(table, col[:, None], axis=1)[:, 0]
+        sym = jnp.max(jnp.where(pos == col[:, None], table, 0), axis=1)
         return _move_to_front(table, col, sym), sym
 
     _, syms = jax.lax.scan(step, table0, r.T)
-    return syms.T.reshape(n).astype(jnp.uint8)
+    return syms.T.reshape(n)
 
 
 def mtf_encode_np(data):

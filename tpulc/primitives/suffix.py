@@ -20,16 +20,17 @@ import jax.numpy as jnp
 @jax.jit
 def suffix_array(data: jax.Array) -> jax.Array:
     """SA of uint8[n]: SA[j] = start of the j-th smallest suffix."""
+    from tpulc.codecs.bwt.rotsort import _scatter_perm
+
     n = data.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     byte = data.astype(jnp.int32)
-    _, order0 = jax.lax.sort((byte, idx), num_keys=1, is_stable=True)
-    b_sorted = byte[order0]
+    b_sorted, order0 = jax.lax.sort((byte, idx), num_keys=1, is_stable=True)
     grp0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32),
          (b_sorted[1:] != b_sorted[:-1]).astype(jnp.int32)]
     )
-    rank0 = jnp.zeros((n,), jnp.int32).at[order0].set(jnp.cumsum(grp0))
+    rank0 = _scatter_perm(order0, jnp.cumsum(grp0))
 
     def cond(state):
         rank, k = state
@@ -47,7 +48,7 @@ def suffix_array(data: jax.Array) -> jax.Array:
             [jnp.zeros((1,), jnp.int32),
              ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(jnp.int32)]
         )
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.cumsum(newgrp))
+        rank = _scatter_perm(order, jnp.cumsum(newgrp))
         return rank, k * 2
 
     rank, _ = jax.lax.while_loop(cond, body, (rank0, jnp.int32(1)))
