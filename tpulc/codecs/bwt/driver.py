@@ -17,7 +17,10 @@ Per-block payload (little-endian):
     mode        u8    bit0: decode anchors present
     lengths     129B  257 code lengths, nibble-packed
     nchunks     u32
-    offsets     u32 * nchunks   bit offset of each 256-symbol chunk
+    offset0     u32   absolute bit offset of chunk 0
+    deltas      u16 * (nchunks-1)   per-chunk bit-size deltas (a
+                      CHUNK_SYMS-symbol chunk is <= CHUNK_SYMS*15 bits,
+                      so u16 always fits)
     [n_anchors  u32 + anchors u32*n_anchors   when mode&1]
     words       4B * ceil(total_bits/32)
 """
@@ -49,7 +52,9 @@ from tpulc.primitives.checksum import adler32_np
 from tpulc.primitives.mtf import mtf_encode, mtf_decode
 
 MAX_LEN = 15
-CHUNK_SYMS = 256
+# 128-symbol chunks halve the serial decode trip count vs 256; the
+# offsets table costs the same bytes because deltas ship as u16.
+CHUNK_SYMS = 128
 _BLOCK_HEAD = struct.Struct("<IIIIB")
 _NIBBLES = (ALPHABET + 1) // 2 + ((ALPHABET + 1) % 2)  # 129 bytes
 
@@ -229,12 +234,14 @@ def compress_block(block: np.ndarray, block_cap: int) -> bytes:
     lens_pad[:ALPHABET] = lens
     nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
     used_chunks = max(1, -(-m // CHUNK_SYMS))
-    offs = np.asarray(chunk_offsets[:used_chunks]).astype("<u4")
+    offs = np.asarray(chunk_offsets[:used_chunks]).astype(np.int64)
     # anchors pay off only when they are a sliver of the payload
     mode = 1 if (bool(ok) and 4 * int(np.asarray(anchors).shape[0]) * 20
                  < nw * 4) else 0
     payload = _BLOCK_HEAD.pack(n, m, idx0, total_bits, mode) + nibbles
-    payload += struct.pack("<I", used_chunks) + offs.tobytes()
+    payload += struct.pack("<I", used_chunks)
+    payload += struct.pack("<I", int(offs[0]))
+    payload += np.diff(offs).astype("<u2").tobytes()
     if mode & 1:
         a = np.asarray(anchors).astype("<u4")
         payload += struct.pack("<I", a.shape[0]) + a.tobytes()
@@ -255,10 +262,15 @@ def _parse_block(payload: bytes):
     lengths = lengths[:ALPHABET]
     (nchunks,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
-    bit_offsets = np.frombuffer(payload[off: off + 4 * nchunks], "<u4").astype(
-        np.int32
-    )
-    off += 4 * nchunks
+    (off0,) = struct.unpack("<I", payload[off: off + 4])
+    off += 4
+    deltas = np.frombuffer(
+        payload[off: off + 2 * (nchunks - 1)], "<u2"
+    ).astype(np.int64)
+    off += 2 * (nchunks - 1)
+    bit_offsets = (
+        off0 + np.concatenate([[0], np.cumsum(deltas)])
+    ).astype(np.int32)
     anchors = None
     if mode & 1:
         (na,) = struct.unpack("<I", payload[off: off + 4])
@@ -346,8 +358,9 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     """
     B, cap = blocks.shape
     R = -(-cap // ANCHOR_STRIDE)
-    dev_blocks = jnp.asarray(blocks)  # ONE upload
-    per = [_forward_packed(_row(dev_blocks, b), R) for b in range(B)]
+    # per-block put immediately followed by its dispatch: the tunnel
+    # pipelines block b+1's upload under block b's transform
+    per = [_forward_packed(jnp.asarray(blocks[b]), R) for b in range(B)]
     syms = [p[0] for p in per]
     m_dev = [p[1][0] for p in per]           # device scalars for entropy
     metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
@@ -389,11 +402,13 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         lens_pad[:ALPHABET] = lens
         nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
         used_chunks = max(1, -(-m // CHUNK_SYMS))
-        offs = ent[b][1: 1 + used_chunks].astype("<u4")
+        offs = ent[b][1: 1 + used_chunks].astype(np.int64)
         mode = 1 if (bool(ok_b[b]) and 4 * anchors_b.shape[1] * 20
                      < nw * 4) else 0
         payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode) + nibbles
-        payload += struct.pack("<I", used_chunks) + offs.tobytes()
+        payload += struct.pack("<I", used_chunks)
+        payload += struct.pack("<I", int(offs[0]))
+        payload += np.diff(offs).astype("<u2").tobytes()
         if mode & 1:
             a = anchors_b[b].astype("<u4")
             payload += struct.pack("<I", a.shape[0]) + a.tobytes()
