@@ -84,17 +84,33 @@ def main():
         r = bench_roundtrip("huffman", data, block_size=1 << 20)
         metric = "huffman_roundtrip_MBps"
     value = r["roundtrip_mbps"]
+    detail = {
+        "compress_s": round(r["compress_s"], 4),
+        "decompress_s": round(r["decompress_s"], 4),
+        "ratio": round(r["ratio"], 3),
+        "input_bytes": SIZE,
+    }
+    # TPULC_BENCH_FULL=1 adds the per-codec matrix (slower: compiles
+    # every codec); the headline metric/line stays identical.
+    if os.environ.get("TPULC_BENCH_FULL"):
+        codecs = {}
+        for name, bs in [("huffman", 1 << 20), ("bsc", 4 << 20),
+                         ("lzss", 1 << 20), ("culzss", 1 << 20)]:
+            try:
+                rr = bench_roundtrip(name, data, block_size=bs)
+                codecs[name] = {
+                    "MBps": round(rr["roundtrip_mbps"], 3),
+                    "ratio": round(rr["ratio"], 3),
+                }
+            except Exception as e:  # pragma: no cover - diagnostics only
+                codecs[name] = {"error": str(e)[:80]}
+        detail["codecs"] = codecs
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
         "unit": "MB/s",
         "vs_baseline": round(value / BASELINE_ROUNDTRIP_MBPS, 3),
-        "detail": {
-            "compress_s": round(r["compress_s"], 4),
-            "decompress_s": round(r["decompress_s"], 4),
-            "ratio": round(r["ratio"], 3),
-            "input_bytes": SIZE,
-        },
+        "detail": detail,
     }))
 
 

@@ -130,6 +130,64 @@ def _entropy_take(syms, m, codes, lengths, out_words: int, nchunks: int,
     ])
 
 
+@partial(jax.jit, static_argnames=("anchor_count", "K"))
+def _forward_packed_mt(block, anchor_count: int, K: int):
+    """_forward + multi-table group refinement.  Meta layout (int32):
+    [m, idx0, ok, cluster_hist(K*ALPHABET), anchors(R), sel(nchunks)]."""
+    from tpulc.codecs.bwt.multitable import refine_tables
+
+    syms, m, idx0, hist, anchors, ok = _forward(block)
+    del hist  # cluster histograms carry the same information split K ways
+    nchunks = block.shape[0] // CHUNK_SYMS
+    sel, clhist = refine_tables(syms, m, CHUNK_SYMS, K)
+    meta = jnp.concatenate([
+        jnp.stack([m, idx0, ok.astype(jnp.int32)]),
+        clhist.reshape(-1),
+        anchors[:anchor_count],
+        sel[:nchunks],
+    ])
+    return syms, meta, sel
+
+
+@partial(jax.jit, static_argnames=("out_words", "nchunks", "take"))
+def _entropy_take_mt(syms, m, sel, codes, lengths, out_words: int,
+                     nchunks: int, take: int):
+    """Multi-table `_entropy_take`: codes/lengths are [K, ALPHABET];
+    chunk c's symbols use table sel[c]."""
+    cap = syms.shape[0]
+    K = codes.shape[0]
+    valid = jnp.arange(cap, dtype=jnp.int32) < m
+    packed_tab = ((codes.astype(jnp.int32) << 4) | lengths).astype(
+        jnp.float32
+    )  # [K, A]
+    # one MXU contraction gives every symbol's entry under EVERY table;
+    # the per-chunk selector then picks a column (vector selects, no
+    # gathers).
+    oh = jax.nn.one_hot(syms, packed_tab.shape[1], dtype=jnp.float32)
+    per_k = jnp.matmul(  # [cap, K]; exact — see _entropy
+        oh, packed_tab.T, precision=jax.lax.Precision.HIGHEST
+    )
+    ctx = jnp.broadcast_to(
+        sel[:cap // CHUNK_SYMS, None], (cap // CHUNK_SYMS, CHUNK_SYMS)
+    ).reshape(cap)
+    packed = jnp.zeros((cap,), jnp.float32)
+    for k in range(K):
+        packed = jnp.where(ctx == k, per_k[:, k], packed)
+    packed = packed.astype(jnp.int32)
+    sym_lens = jnp.where(valid, packed & 15, 0)
+    sym_codes = jnp.where(valid, packed >> 4, 0).astype(jnp.uint32)
+    words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
+    off = jnp.cumsum(sym_lens) - sym_lens
+    chunk_offsets = off.reshape(-1, CHUNK_SYMS)[:nchunks, 0].astype(jnp.int32)
+    chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < m
+    chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
+    return jnp.concatenate([
+        jnp.reshape(total_bits, (1,)).astype(jnp.uint32),
+        chunk_offsets.astype(jnp.uint32),
+        words[:take],
+    ])
+
+
 @partial(jax.jit, static_argnames=("out_words", "nchunks"))
 def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
     cap = syms.shape[0]
@@ -142,7 +200,11 @@ def _entropy(syms, m, codes, lengths, out_words: int, nchunks: int):
         jnp.float32
     )
     oh = jax.nn.one_hot(syms, packed_tab.shape[0], dtype=jnp.float32)
-    packed = (oh @ packed_tab).astype(jnp.int32)
+    # precision='highest': TPU matmuls default to bf16 passes, which
+    # would round the packed 19-bit table entries
+    packed = jnp.matmul(
+        oh, packed_tab, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)
     sym_lens = jnp.where(valid, packed & 15, 0)
     sym_codes = jnp.where(valid, packed >> 4, 0).astype(jnp.uint32)
     words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
@@ -165,36 +227,50 @@ def _inverse(words, total_bits, m, idx0, lut_sym, lut_len, offs, cap: int):
     return bwt_decode(last, idx0)
 
 
-@partial(jax.jit, static_argnames=("cap", "w_pad"))
-def _inverse_packed(row, cap: int, w_pad: int):
+@partial(jax.jit, static_argnames=("cap", "w_pad", "K"))
+def _inverse_packed(row, cap: int, w_pad: int, K: int = 1):
     """Anchored inverse of one block from a single packed uint32 row:
 
         [0] total_bits  [1] m  [2] idx0  [3] flags
-        [4:4+65]    257 code lengths as bytes (u32 little-endian)
-        [69:69+ccap]          chunk bit offsets
-        [69+ccap:69+ccap+R]   decode anchors
-        [...:...+w_pad]       entropy stream words
+        [4 : 4+K*65]     K tables' 257 code lengths as bytes (u32 LE)
+        [+sc]            per-chunk table selectors, u8 packed (sc =
+                         ceil(ccap/4) words; all-zero when K == 1)
+        [+ccap]          chunk bit offsets
+        [+R]             decode anchors
+        [+w_pad]         entropy stream words
 
-    The whole batch ships as ONE uint32 H2D put; the 2^MAX_LEN decode
-    LUT is rebuilt on device from the 257 lengths (shipping it would
-    cost ~256KB/block through the tunnel; rebuilding is <1ms)."""
+    The whole batch ships as ONE uint32 H2D put; the K 2^MAX_LEN decode
+    LUTs are rebuilt on device from the lengths (shipping them would
+    cost ~256KB each through the tunnel; rebuilding is <1ms)."""
     from tpulc.codecs.huffman.device_tables import canonical_lut_packed
 
     ccap = max(1, -(-cap // CHUNK_SYMS))
     R = -(-cap // ANCHOR_STRIDE)
+    sc = -(-ccap // 4)
     total_bits = row[0].astype(jnp.int32)
     m = row[1].astype(jnp.int32)
+    o = 4
     lens_u8 = jax.lax.bitcast_convert_type(
-        row[4: 4 + 65], jnp.uint8
-    ).reshape(-1)
-    lengths = lens_u8[:ALPHABET].astype(jnp.int32)
-    offs = row[69: 69 + ccap].astype(jnp.int32)
-    anchors = row[69 + ccap: 69 + ccap + R].astype(jnp.int32)
-    words = row[69 + ccap + R: 69 + ccap + R + w_pad]
-    lut_packed = canonical_lut_packed(lengths, MAX_LEN)
+        row[o: o + K * 65], jnp.uint8
+    ).reshape(K, 260)
+    lengths = lens_u8[:, :ALPHABET].astype(jnp.int32)
+    o += K * 65
+    sel = jax.lax.bitcast_convert_type(
+        row[o: o + sc], jnp.uint8
+    ).reshape(-1)[:ccap].astype(jnp.int32)
+    o += sc
+    offs = row[o: o + ccap].astype(jnp.int32)
+    o += ccap
+    anchors = row[o: o + R].astype(jnp.int32)
+    o += R
+    words = row[o: o + w_pad]
+    luts = jax.vmap(
+        lambda ln: canonical_lut_packed(ln, MAX_LEN)
+    )(lengths)  # [K, 2^L]
     syms = huffman_decode_uniform_packed(
-        words, total_bits, cap, lut_packed, MAX_LEN,
+        words, total_bits, cap, luts.reshape(-1), MAX_LEN,
         offs, CHUNK_SYMS, out_dtype=jnp.int32,
+        lut_base=None if K == 1 else (sel << MAX_LEN),
     )
     ranks, _ = rle2_decode(syms, m)
     last = mtf_decode(ranks)
@@ -249,17 +325,30 @@ def compress_block(block: np.ndarray, block_cap: int) -> bytes:
     return payload
 
 
+def _unpack_nibbles(nib: np.ndarray) -> np.ndarray:
+    lengths = np.zeros(_NIBBLES * 2, np.int32)
+    lengths[0::2] = nib & 0xF
+    lengths[1::2] = nib >> 4
+    return lengths[:ALPHABET]
+
+
 def _parse_block(payload: bytes):
+    """-> (n, m, idx0, total_bits, lengths [K, ALPHABET], sel, bit_offsets,
+    anchors, words); sel is None for single-table blocks."""
     n, m, idx0, total_bits, mode = _BLOCK_HEAD.unpack(
         payload[: _BLOCK_HEAD.size]
     )
     off = _BLOCK_HEAD.size
-    nib = np.frombuffer(payload[off: off + _NIBBLES], np.uint8)
-    off += _NIBBLES
-    lengths = np.zeros(_NIBBLES * 2, np.int32)
-    lengths[0::2] = nib & 0xF
-    lengths[1::2] = nib >> 4
-    lengths = lengths[:ALPHABET]
+    if mode & 2:
+        K = payload[off]
+        off += 1
+    else:
+        K = 1
+    lengths = np.zeros((K, ALPHABET), np.int32)
+    for k in range(K):
+        nib = np.frombuffer(payload[off: off + _NIBBLES], np.uint8)
+        lengths[k] = _unpack_nibbles(nib)
+        off += _NIBBLES
     (nchunks,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
     (off0,) = struct.unpack("<I", payload[off: off + 4])
@@ -271,6 +360,15 @@ def _parse_block(payload: bytes):
     bit_offsets = (
         off0 + np.concatenate([[0], np.cumsum(deltas)])
     ).astype(np.int32)
+    sel = None
+    if mode & 2:
+        sb = (nchunks + 1) // 2
+        packed = np.frombuffer(payload[off: off + sb], np.uint8)
+        off += sb
+        sel = np.zeros(sb * 2, np.uint8)
+        sel[0::2] = packed & 0xF
+        sel[1::2] = packed >> 4
+        sel = sel[:nchunks]
     anchors = None
     if mode & 1:
         (na,) = struct.unpack("<I", payload[off: off + 4])
@@ -281,28 +379,30 @@ def _parse_block(payload: bytes):
         off += 4 * na
     nw = -(-total_bits // 32)
     words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
-    return n, m, idx0, total_bits, lengths, bit_offsets, anchors, words
+    return n, m, idx0, total_bits, lengths, sel, bit_offsets, anchors, words
 
 
 def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
-    n, m, idx0, total_bits, lengths, bit_offsets, anchors, words =         _parse_block(payload)
     cap = _cap_for(block_cap)
+    fast = _decompress_batch_packed([payload], cap)
+    if fast is not None:
+        return fast[0]
+    n, m, idx0, total_bits, lengths, sel, bit_offsets, anchors, words = \
+        _parse_block(payload)
+    assert sel is None, "multi-table blocks always carry anchors"
     wcap = -(-cap * MAX_LEN // 32)
     words_p = np.zeros(wcap, np.uint32)
     words_p[: words.shape[0]] = words
     ccap = max(1, -(-cap // CHUNK_SYMS))
     offs_p = np.full(ccap, total_bits, np.int32)
     offs_p[: bit_offsets.shape[0]] = bit_offsets
-    table = HuffmanTable.from_lengths(lengths, MAX_LEN)
+    table = HuffmanTable.from_lengths(lengths[0], MAX_LEN)
     args = (
         jnp.asarray(words_p), jnp.int32(total_bits), jnp.int32(m),
         jnp.int32(idx0), jnp.asarray(table.lut_sym),
         jnp.asarray(table.lut_len), jnp.asarray(offs_p),
     )
-    if anchors is not None:
-        block = _inverse_anchored(*args, jnp.asarray(anchors), cap)
-    else:
-        block = _inverse(*args, cap)
+    block = _inverse(*args, cap)
     return np.asarray(block[:n])
 
 
@@ -356,33 +456,98 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     word buckets (the host computes each block's exact bit count from
     hist . lengths before the entropy stage runs).
     """
+    from tpulc.codecs.huffman.tables import (
+        canonical_codes,
+        package_merge_lengths,
+    )
+
     B, cap = blocks.shape
     R = -(-cap // ANCHOR_STRIDE)
+    K = 6  # one compiled refinement; unused tables stay empty
+    nchunks = max(1, -(-cap // CHUNK_SYMS))
     # per-block put immediately followed by its dispatch: the tunnel
     # pipelines block b+1's upload under block b's transform
-    per = [_forward_packed(jnp.asarray(blocks[b]), R) for b in range(B)]
+    per = [_forward_packed_mt(jnp.asarray(blocks[b]), R, K)
+           for b in range(B)]
     syms = [p[0] for p in per]
     m_dev = [p[1][0] for p in per]           # device scalars for entropy
+    sel_dev = [p[2] for p in per]
     metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
     ms = [int(mt[0]) for mt in metas]
     idx0s = [int(mt[1]) for mt in metas]
     ok_b = np.asarray([bool(mt[2]) for mt in metas])
-    hists = np.stack([mt[3: 3 + ALPHABET] for mt in metas])
-    anchors_b = np.stack([mt[3 + ALPHABET:] for mt in metas])
-    tables = [HuffmanTable.from_freqs(hists[b], MAX_LEN) for b in range(B)]
+    clh = np.stack(
+        [mt[3: 3 + K * ALPHABET].reshape(K, ALPHABET) for mt in metas]
+    )
+    anchors_b = np.stack(
+        [mt[3 + K * ALPHABET: 3 + K * ALPHABET + R] for mt in metas]
+    )
+    sels = np.stack(
+        [mt[3 + K * ALPHABET + R:] for mt in metas]
+    ).astype(np.uint8)
     out_words = -(-cap * MAX_LEN // 32)
-    nchunks = max(1, -(-cap // CHUNK_SYMS))
-    # exact stream size ahead of the device: total_bits = hist . lengths
-    tbs = [int((hists[b].astype(np.int64) * tables[b].lengths).sum())
-           for b in range(B)]
+    # Per-block table choice: the host has every cluster histogram, so
+    # it prices single-table vs multi-table EXACTLY (stream bits + the
+    # length-table and selector metadata) and keeps only tables some
+    # selector actually uses.  MT blocks must also carry anchors — the
+    # anchor-less decode fallback only understands single-table
+    # payloads.
+    mt_b, lens_b, codes_b, tbs = [], [], [], []
+    sel_remap = [None] * B
+    for b in range(B):
+        used_chunks = max(1, -(-ms[b] // CHUNK_SYMS))
+        hist_all = clh[b].sum(axis=0)
+        lens_single = package_merge_lengths(hist_all, MAX_LEN)
+        tb_single = int((hist_all.astype(np.int64) * lens_single).sum())
+        used_tabs = np.unique(sels[b, :used_chunks])
+        mt = bool(ok_b[b]) and used_tabs.shape[0] >= 2
+        if mt:
+            lens_mt = np.stack([
+                package_merge_lengths(clh[b, k], MAX_LEN)
+                for k in used_tabs
+            ])
+            tb_mt = int(sum(
+                (clh[b, k].astype(np.int64) * lens_mt[j]).sum()
+                for j, k in enumerate(used_tabs)
+            ))
+            extra = 8 * (
+                1 + (len(used_tabs) - 1) * _NIBBLES
+                + (used_chunks + 1) // 2
+            )  # K byte + extra tables + selectors, in bits
+            mt = tb_mt + extra < tb_single
+        if mt:
+            remap = np.zeros(K, np.uint8)
+            remap[used_tabs] = np.arange(len(used_tabs), dtype=np.uint8)
+            sel_remap[b] = remap
+            lens_b.append(lens_mt)
+            tbs.append(tb_mt)
+        else:
+            lens_b.append(lens_single[None])
+            tbs.append(tb_single)
+        mt_b.append(mt)
+        codes_b.append(np.stack([canonical_codes(lk) for lk in lens_b[b]]))
     takes = [_bucket_words(-(-tbs[b] // 32), out_words) for b in range(B)]
-    ent_dev = [
-        _entropy_take(
-            syms[b], m_dev[b], jnp.asarray(tables[b].codes),
-            jnp.asarray(tables[b].lengths), out_words, nchunks, takes[b],
-        )
-        for b in range(B)
-    ]
+    ent_dev = []
+    for b in range(B):
+        if mt_b[b]:
+            # device entropy uses original K-slot table ids (sel_dev is
+            # unremapped); unused slots stay zero and are never selected
+            used_chunks = max(1, -(-ms[b] // CHUNK_SYMS))
+            used_tabs = np.unique(sels[b, :used_chunks])
+            lens_full = np.zeros((K, ALPHABET), np.int32)
+            codes_full = np.zeros((K, ALPHABET), np.uint32)
+            lens_full[used_tabs] = lens_b[b]
+            codes_full[used_tabs] = codes_b[b]
+            ent_dev.append(_entropy_take_mt(
+                syms[b], m_dev[b], sel_dev[b],
+                jnp.asarray(codes_full), jnp.asarray(lens_full),
+                out_words, nchunks, takes[b],
+            ))
+        else:
+            ent_dev.append(_entropy_take(
+                syms[b], m_dev[b], jnp.asarray(codes_b[b][0]),
+                jnp.asarray(lens_b[b][0]), out_words, nchunks, takes[b],
+            ))
     # group same-bucket blocks into one stacked pull each
     ent: list = [None] * B
     groups: dict[int, list[int]] = {}
@@ -397,18 +562,28 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         m, idx0, tb = ms[b], idx0s[b], int(ent[b][0])
         assert tb == tbs[b], "device/host bit-count mismatch"
         nw = -(-tb // 32)
-        lens = np.asarray(tables[b].lengths, np.uint8)
-        lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
-        lens_pad[:ALPHABET] = lens
-        nibbles = (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
+        nibbles = b""
+        for lk in lens_b[b]:
+            lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
+            lens_pad[:ALPHABET] = lk.astype(np.uint8)
+            nibbles += (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
         used_chunks = max(1, -(-m // CHUNK_SYMS))
         offs = ent[b][1: 1 + used_chunks].astype(np.int64)
-        mode = 1 if (bool(ok_b[b]) and 4 * anchors_b.shape[1] * 20
-                     < nw * 4) else 0
-        payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode) + nibbles
+        anchored = bool(ok_b[b]) and (
+            mt_b[b] or 4 * anchors_b.shape[1] * 20 < nw * 4
+        )
+        mode = (1 if anchored else 0) | (2 if mt_b[b] else 0)
+        payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode)
+        if mt_b[b]:
+            payload += bytes([len(lens_b[b])])
+        payload += nibbles
         payload += struct.pack("<I", used_chunks)
         payload += struct.pack("<I", int(offs[0]))
         payload += np.diff(offs).astype("<u2").tobytes()
+        if mt_b[b]:
+            sp = np.zeros(((used_chunks + 1) // 2) * 2, np.uint8)
+            sp[:used_chunks] = sel_remap[b][sels[b, :used_chunks]]
+            payload += (sp[0::2] | (sp[1::2] << 4)).tobytes()
         if mode & 1:
             a = anchors_b[b].astype("<u4")
             payload += struct.pack("<I", a.shape[0]) + a.tobytes()
@@ -445,38 +620,49 @@ def compress(data: bytes | np.ndarray, block_size: int = 900_000) -> bytes:
 
 def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
     """All-anchored fast path: ONE u32 H2D put carrying every block's
-    scalars + lengths + offsets + anchors + words, device-built LUTs,
-    ONE stacked D2H pull of the outputs.  Returns device rows or None
-    when some block lacks anchors (caller falls back)."""
+    scalars + lengths + selectors + offsets + anchors + words,
+    device-built LUTs, ONE stacked D2H pull of the outputs.  Returns
+    decoded blocks or None when some block lacks anchors (caller falls
+    back).  Single-table blocks ride the same program as multi-table
+    ones: their extra length tables are zero and their selectors all 0.
+    """
     out_words = -(-cap * MAX_LEN // 32)
     ccap = max(1, -(-cap // CHUNK_SYMS))
     n_anch = -(-cap // ANCHOR_STRIDE)
+    sc = -(-ccap // 4)
     B = len(group)
     parsed = [_parse_block(p) for p in group]
-    if any(p[6] is None or p[6].shape[0] != n_anch for p in parsed):
+    if any(p[7] is None or p[7].shape[0] != n_anch for p in parsed):
         return None
+    K = max(p[4].shape[0] for p in parsed)
     nw_max = max(-(-p[3] // 32) for p in parsed)
     w_pad = _bucket_words(max(nw_max, 1), out_words)
-    K = 69 + ccap + n_anch + w_pad
-    arr = np.zeros((B, K), np.uint32)
+    width = 4 + K * 65 + sc + ccap + n_anch + w_pad
+    arr = np.zeros((B, width), np.uint32)
     ns = []
-    for j, (n, m, idx0, tb, lengths, bit_offsets, anchors, words) in \
+    for j, (n, m, idx0, tb, lengths, sel, bit_offsets, anchors, words) in \
             enumerate(parsed):
         ns.append(n)
         arr[j, 0], arr[j, 1], arr[j, 2], arr[j, 3] = tb, m, idx0, 1
-        lens_pad = np.zeros(260, np.uint8)
-        lens_pad[:ALPHABET] = lengths.astype(np.uint8)
-        arr[j, 4: 4 + 65] = lens_pad.view("<u4")
-        arr[j, 69: 69 + ccap] = tb
-        arr[j, 69: 69 + bit_offsets.shape[0]] = bit_offsets.astype(
-            np.uint32
-        )
-        a0 = 69 + ccap
-        arr[j, a0: a0 + n_anch] = anchors.astype(np.uint32)
-        w0 = a0 + n_anch
-        arr[j, w0: w0 + words.shape[0]] = words
+        o = 4
+        for k in range(lengths.shape[0]):
+            lens_pad = np.zeros(260, np.uint8)
+            lens_pad[:ALPHABET] = lengths[k].astype(np.uint8)
+            arr[j, o + k * 65: o + (k + 1) * 65] = lens_pad.view("<u4")
+        o += K * 65
+        if sel is not None:
+            sel_pad = np.zeros(sc * 4, np.uint8)
+            sel_pad[: sel.shape[0]] = sel
+            arr[j, o: o + sc] = sel_pad.view("<u4")
+        o += sc
+        arr[j, o: o + ccap] = tb
+        arr[j, o: o + bit_offsets.shape[0]] = bit_offsets.astype(np.uint32)
+        o += ccap
+        arr[j, o: o + n_anch] = anchors.astype(np.uint32)
+        o += n_anch
+        arr[j, o: o + words.shape[0]] = words
     dev = jnp.asarray(arr)  # ONE upload for the batch
-    outs = [_inverse_packed(_row(dev, j), cap, w_pad) for j in range(B)]
+    outs = [_inverse_packed(_row(dev, j), cap, w_pad, K) for j in range(B)]
     stacked = np.asarray(jnp.stack(outs))  # ONE pull
     return [stacked[j, : ns[j]] for j in range(B)]
 
@@ -495,14 +681,16 @@ def decompress(buf: bytes) -> bytes:
             parts.extend(fast)
             continue
         # fallback: per-block host LUTs + metadata-free doubling decode
+        # (anchor-less blocks are always encoded single-table)
         for payload in group:
-            n, m, idx0, tb, lengths, bit_offsets, anchors, words = \
+            n, m, idx0, tb, lengths, sel, bit_offsets, anchors, words = \
                 _parse_block(payload)
+            assert sel is None, "multi-table blocks always carry anchors"
             words_p = np.zeros(wcap, np.uint32)
             words_p[: words.shape[0]] = words
             offs_p = np.full(ccap, tb, np.int32)
             offs_p[: bit_offsets.shape[0]] = bit_offsets
-            table = HuffmanTable.from_lengths(lengths, MAX_LEN)
+            table = HuffmanTable.from_lengths(lengths[0], MAX_LEN)
             args = (
                 jnp.asarray(words_p), jnp.int32(tb), jnp.int32(m),
                 jnp.int32(idx0), jnp.asarray(table.lut_sym),

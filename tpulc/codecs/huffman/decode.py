@@ -250,10 +250,16 @@ def huffman_decode_uniform_packed(
     chunk_bit_offsets: jax.Array,
     chunk_syms: int,
     out_dtype=jnp.uint8,
+    lut_base: jax.Array | None = None,
 ):
     """`huffman_decode_uniform` taking the (sym << 4 | len) packed LUT
     directly (e.g. built on device by
-    `device_tables.canonical_lut_packed`)."""
+    `device_tables.canonical_lut_packed`).
+
+    `lut_base` (optional, int32[nsub]) selects a per-chunk table when
+    `lut_packed` is K stacked LUTs flattened: chunk i reads entries
+    `lut_packed[lut_base[i] + win]` (bzip2-style multi-table selectors,
+    `compress.c:242-600`)."""
     nsub = chunk_bit_offsets.shape[0]
     assert nsub * chunk_syms >= n_out
     words_p = _pad_words(words)
@@ -268,6 +274,8 @@ def huffman_decode_uniform_packed(
         pos, out = state
         active = pos < ends
         win = peek_bits(words_p, pos, L).astype(jnp.int32)
+        if lut_base is not None:
+            win = win + lut_base
         p = lut_packed[win]
         step = p & 15
         step = jnp.where(step == 0, 1, step)
