@@ -106,11 +106,21 @@ def rle2_decode(symbols: jax.Array, m: jax.Array):
     gstart = prev_lit + 1          # start index of my run group (if isrun)
     pos_in_group = i - gstart      # digit index (LSB first)
     contrib = jnp.where(isrun, (s + 1) << jnp.clip(pos_in_group, 0, 30), 0)
-    # zeros emitted by each group, summed at the group-start position
-    gid = jnp.where(isrun, gstart, cap)
-    L_at_start = jnp.zeros((cap + 1,), jnp.int32).at[gid].add(
-        contrib, mode="drop"
-    )[:cap]
+    # Zeros emitted by each group, summed at the group-start position:
+    # a reverse SEGMENTED sum-scan with literal positions as segment
+    # resets puts each group's digit total on every member, in
+    # particular its start (a scan costs ~1/4 of the scatter-add this
+    # replaces on TPU).
+    rv = contrib[::-1]
+    rf = (~isrun)[::-1]
+
+    def segsum(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+    seg, _ = jax.lax.associative_scan(segsum, (rv, rf))
+    L_at_start = seg[::-1]
 
     is_gstart = isrun & (pos_in_group == 0)
     out_len = jnp.where(

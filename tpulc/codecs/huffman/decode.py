@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from tpulc.primitives.bits import peek_bits
+from tpulc.primitives.bits import byte_windows, peek_bits, peek_bits_bw
 
 DEFAULT_SUB_BITS = 512  # 16 x 32-bit units per subsequence
 
@@ -263,7 +263,11 @@ def huffman_decode_uniform_packed(
     nsub = chunk_bit_offsets.shape[0]
     assert nsub * chunk_syms >= n_out
     words_p = _pad_words(words)
+    # Byte-granular windows: ONE gather per decode step instead of two
+    # (the serial symbol loop is gather-latency-bound).
+    bwin = byte_windows(words_p)
     L = max_len
+    assert L <= 25
     ends = jnp.concatenate(
         [chunk_bit_offsets[1:],
          jnp.reshape(total_bits, (1,)).astype(jnp.int32)]
@@ -273,7 +277,7 @@ def huffman_decode_uniform_packed(
     def body(t, state):
         pos, out = state
         active = pos < ends
-        win = peek_bits(words_p, pos, L).astype(jnp.int32)
+        win = peek_bits_bw(bwin, pos, L).astype(jnp.int32)
         if lut_base is not None:
             win = win + lut_base
         p = lut_packed[win]

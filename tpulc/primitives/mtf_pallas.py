@@ -1,27 +1,25 @@
-"""Pallas TPU kernel for the MTF lockstep decode phase.
+"""Pallas TPU kernels for the MTF lockstep phases.
 
-The serial intra-chunk phase of `mtf_decode` is a C-step loop whose
-body is a same-shape row gather (symbol lookup) plus a masked shift
+The serial intra-chunk phases of `mtf_decode`/`mtf_encode` are C-step
+loops whose body reads one table entry and applies a masked shift
 (move-to-front) over [chunks, 256] tables.  As a `lax.scan` each step
-is a separate XLA op sequence; in Pallas the whole loop runs inside one
-kernel with the table tile resident in VMEM.
+streams the full [nchunks, 256] table state through HBM; in Pallas the
+whole loop runs inside one kernel with the table tile resident in VMEM.
 
 TPU mapping notes (verified on this chip):
-  - `jnp.take_along_axis(tab, idx, axis=1)` lowers to a VMEM row
-    gather only when idx has the SAME shape as tab — so the per-step
-    rank is broadcast across the 256 lane columns and column 0 of the
-    gather result is used.
+  - Mosaic cannot gather across more than one 128-lane vreg ("Multiple
+    source vregs along gather dimension"), so the 256-entry table rides
+    as two 128-lane halves and the table read is a masked lane-max
+    reduction (no gather at all).
   - Mosaic rejects non-128-aligned dynamic VMEM indexing, so the rank
     block loads once and column selection is elementwise-masked in
     registers.
-  - the grid tiles chunks in groups of 8 (sublane dim); tables ride
-    VMEM as (8, 256) tiles.
+  - the grid tiles chunks in groups of 8 (sublane dim).
 
-STATUS: semantics validated in interpret mode (tests); compiling
-through this environment's remote AOT helper currently fails with an
-infrastructure error (TPU_WORKER_HOSTNAMES init in the chipless
-compile helper), so the production `mtf_decode` keeps the lax.scan
-path.  Revisit when the helper accepts larger Mosaic kernels.
+The kernel emits BOTH the per-step values and the final table, so one
+kernel body serves the decode phase (values = symbols) and the
+permutation-build phase (final table = chunk permutation applied to the
+given start table).
 """
 
 from __future__ import annotations
@@ -36,43 +34,51 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 8
 
 
-def _kernel(table_ref, ranks_ref, out_ref):
-    # Mosaic requires 128-aligned dynamic VMEM indexing, so the whole
-    # rank block loads once and per-step column selection happens in
-    # registers with elementwise masks (no dynamic slices).
+def _mtf_kernel(table_ref, ranks_ref, out_ref, tabout_ref):
     C = ranks_ref.shape[1]
-    ranks = ranks_ref[:, :].astype(jnp.int32)          # [TILE, C]
+    ranks = ranks_ref[:, :].astype(jnp.int32)              # [TILE, C]
     col = jax.lax.broadcasted_iota(jnp.int32, ranks.shape, 1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (TILE, 256), 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    pos1 = pos0 + 128
+    h0 = table_ref[:, :128].astype(jnp.int32)
+    h1 = table_ref[:, 128:].astype(jnp.int32)
 
     def body(j, carry):
-        table, out = carry
+        h0, h1, out = carry
         rank = jnp.sum(jnp.where(col == j, ranks, 0), axis=1,
-                       keepdims=True)                  # [TILE, 1]
-        rank_b = jnp.broadcast_to(rank, table.shape)
-        sym = jnp.take_along_axis(table, rank_b, axis=1)[:, :1]
-        shifted = jnp.concatenate([sym, table[:, :-1]], axis=1)
-        table = jnp.where(pos <= rank, shifted, table)
+                       keepdims=True)                      # [TILE, 1]
+        s0 = jnp.max(jnp.where(pos0 == rank, h0, 0), axis=1, keepdims=True)
+        s1 = jnp.max(jnp.where(pos1 == rank, h1, 0), axis=1, keepdims=True)
+        sym = jnp.maximum(s0, s1)                          # [TILE, 1]
+        h1 = jnp.where(pos1 <= rank,
+                       jnp.concatenate([h0[:, -1:], h1[:, :-1]], axis=1), h1)
+        h0 = jnp.where(pos0 <= rank,
+                       jnp.concatenate([sym, h0[:, :-1]], axis=1), h0)
         out = jnp.where(col == j, jnp.broadcast_to(sym, out.shape), out)
-        return table, out
+        return h0, h1, out
 
     out0 = jnp.zeros((TILE, C), jnp.int32)
-    _, out = jax.lax.fori_loop(0, C, body, (table_ref[:, :], out0))
+    h0, h1, out = jax.lax.fori_loop(0, C, body, (h0, h1, out0))
     out_ref[:, :] = out
+    tabout_ref[:, :] = jnp.concatenate([h0, h1], axis=1)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def mtf_decode_phase_pallas(table0: jax.Array, ranks: jax.Array,
-                            interpret: bool = False) -> jax.Array:
-    """Lockstep decode: table0 int32[nchunks, 256], ranks int32
-    [nchunks, C] -> symbols int32[nchunks, C].  nchunks must be a
-    multiple of TILE (pad with identity tables)."""
+def mtf_lockstep_pallas(table0: jax.Array, ranks: jax.Array,
+                        interpret: bool = False):
+    """Lockstep MTF-by-rank over chunks: table0 int32[nchunks, 256],
+    ranks int32[nchunks, C] -> (symbols int32[nchunks, C], final table
+    int32[nchunks, 256]).  nchunks must be a multiple of TILE (pad with
+    identity tables)."""
     nchunks, C = ranks.shape
     assert nchunks % TILE == 0
     grid = (nchunks // TILE,)
     return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((nchunks, C), jnp.int32),
+        _mtf_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks, C), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks, 256), jnp.int32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, 256), lambda i: (i, 0),
@@ -80,7 +86,77 @@ def mtf_decode_phase_pallas(table0: jax.Array, ranks: jax.Array,
             pl.BlockSpec((TILE, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE, C), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((TILE, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
         interpret=interpret,
     )(table0, ranks)
+
+
+def mtf_decode_phase_pallas(table0: jax.Array, ranks: jax.Array,
+                            interpret: bool = False) -> jax.Array:
+    """Decode phase only (back-compat wrapper): symbols int32[nchunks, C]."""
+    return mtf_lockstep_pallas(table0, ranks, interpret=interpret)[0]
+
+
+def _mtf_encode_kernel(table_ref, syms_ref, out_ref, tabout_ref):
+    C = syms_ref.shape[1]
+    syms = syms_ref[:, :].astype(jnp.int32)                # [TILE, C]
+    col = jax.lax.broadcasted_iota(jnp.int32, syms.shape, 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    pos1 = pos0 + 128
+    h0 = table_ref[:, :128].astype(jnp.int32)
+    h1 = table_ref[:, 128:].astype(jnp.int32)
+
+    def body(j, carry):
+        h0, h1, out = carry
+        sym = jnp.sum(jnp.where(col == j, syms, 0), axis=1,
+                      keepdims=True)                       # [TILE, 1]
+        r0 = jnp.max(jnp.where(h0 == sym, pos0, 0), axis=1, keepdims=True)
+        r1 = jnp.max(jnp.where(h1 == sym, pos1, 0), axis=1, keepdims=True)
+        rank = jnp.maximum(r0, r1)                         # [TILE, 1]
+        h1 = jnp.where(pos1 <= rank,
+                       jnp.concatenate([h0[:, -1:], h1[:, :-1]], axis=1), h1)
+        h0 = jnp.where(pos0 <= rank,
+                       jnp.concatenate([sym, h0[:, :-1]], axis=1), h0)
+        out = jnp.where(col == j, jnp.broadcast_to(rank, out.shape), out)
+        return h0, h1, out
+
+    out0 = jnp.zeros((TILE, C), jnp.int32)
+    h0, h1, out = jax.lax.fori_loop(0, C, body, (h0, h1, out0))
+    out_ref[:, :] = out
+    tabout_ref[:, :] = jnp.concatenate([h0, h1], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def mtf_encode_lockstep_pallas(table0: jax.Array, syms: jax.Array,
+                               interpret: bool = False):
+    """Lockstep MTF-by-symbol over chunks: table0 int32[nchunks, 256],
+    syms int32[nchunks, C] -> (ranks int32[nchunks, C], final table)."""
+    nchunks, C = syms.shape
+    assert nchunks % TILE == 0
+    grid = (nchunks // TILE,)
+    return pl.pallas_call(
+        _mtf_encode_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks, C), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks, 256), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TILE, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 256), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(table0, syms)
