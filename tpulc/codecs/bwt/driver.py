@@ -52,6 +52,18 @@ from tpulc.primitives.checksum import adler32_np
 from tpulc.primitives.mtf import mtf_encode, mtf_decode
 
 MAX_LEN = 15
+
+
+def _default_backend() -> str:
+    try:
+        return jax.default_backend()
+    except Exception:  # pragma: no cover - backend init failures
+        return "cpu"
+
+
+# Pallas symbol-walk decode runs on real TPU backends only (the CPU
+# backend used by tests interprets Mosaic kernels too slowly).
+_PALLAS_DECODE = _default_backend() not in ("cpu",)
 # 128-symbol chunks halve the serial decode trip count vs 256; the
 # offsets table costs the same bytes because deltas ship as u16.
 CHUNK_SYMS = 128
@@ -264,14 +276,52 @@ def _inverse_packed(row, cap: int, w_pad: int, K: int = 1):
     anchors = row[o: o + R].astype(jnp.int32)
     o += R
     words = row[o: o + w_pad]
-    luts = jax.vmap(
-        lambda ln: canonical_lut_packed(ln, MAX_LEN)
-    )(lengths)  # [K, 2^L]
-    syms = huffman_decode_uniform_packed(
-        words, total_bits, cap, luts.reshape(-1), MAX_LEN,
-        offs, CHUNK_SYMS, out_dtype=jnp.int32,
-        lut_base=None if K == 1 else (sel << MAX_LEN),
-    )
+    if _PALLAS_DECODE:
+        # LUT-free canonical walk in a Pallas kernel; symbols come back
+        # as canonical indices and map through one MXU contraction
+        # (which also applies the per-chunk table selectors).
+        from tpulc.codecs.huffman.device_tables import (
+            canonical_decode_params,
+        )
+        from tpulc.codecs.huffman.pallas_decode import (
+            decode_canonical_indices,
+        )
+
+        lim_k, base_k, ss_k = jax.vmap(
+            lambda ln: canonical_decode_params(ln, MAX_LEN)
+        )(lengths)
+        lim_chunk = jnp.take(lim_k, sel, axis=0)
+        base_chunk = jnp.take(base_k, sel, axis=0)
+        words_pp = jnp.concatenate([words, jnp.zeros((2,), jnp.uint32)])
+        ci = decode_canonical_indices(
+            words_pp, offs, total_bits, lim_chunk, base_chunk,
+            CHUNK_SYMS, MAX_LEN,
+        )
+        flat = jnp.clip(ci.reshape(-1)[:cap], 0, ALPHABET - 1)
+        oh = jax.nn.one_hot(flat, ALPHABET, dtype=jnp.float32)
+        per_k = jnp.matmul(
+            oh, ss_k.astype(jnp.float32).T,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)                         # [cap, K]
+        if K == 1:
+            syms = per_k[:, 0]
+        else:
+            ctx = jnp.broadcast_to(
+                sel[: cap // CHUNK_SYMS, None],
+                (cap // CHUNK_SYMS, CHUNK_SYMS),
+            ).reshape(cap)
+            syms = jnp.zeros((cap,), jnp.int32)
+            for k in range(K):
+                syms = jnp.where(ctx == k, per_k[:, k], syms)
+    else:
+        luts = jax.vmap(
+            lambda ln: canonical_lut_packed(ln, MAX_LEN)
+        )(lengths)  # [K, 2^L]
+        syms = huffman_decode_uniform_packed(
+            words, total_bits, cap, luts.reshape(-1), MAX_LEN,
+            offs, CHUNK_SYMS, out_dtype=jnp.int32,
+            lut_base=None if K == 1 else (sel << MAX_LEN),
+        )
     ranks, _ = rle2_decode(syms, m)
     last = mtf_decode(ranks)
     return bwt_decode_anchored(last, anchors[0], anchors, ANCHOR_STRIDE)
@@ -663,8 +713,14 @@ def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
         arr[j, o: o + words.shape[0]] = words
     dev = jnp.asarray(arr)  # ONE upload for the batch
     outs = [_inverse_packed(_row(dev, j), cap, w_pad, K) for j in range(B)]
-    stacked = np.asarray(jnp.stack(outs))  # ONE pull
-    return [stacked[j, : ns[j]] for j in range(B)]
+    # Per-block threaded pulls: block j's D2H transfer rides under
+    # blocks j+1..B's device compute (the tunnel D2H is ~35 MB/s, so a
+    # single end-of-batch pull would serialize ~100ms behind compute).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
+        pulled = list(ex.map(np.asarray, outs))
+    return [pulled[j][: ns[j]] for j in range(B)]
 
 
 def decompress(buf: bytes) -> bytes:

@@ -74,6 +74,40 @@ def canonical_lut_packed(lengths: jax.Array, max_len: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("max_len",))
+def canonical_decode_params(lengths: jax.Array, max_len: int):
+    """lengths int32[S] -> (lim int32[L+1], baseoff int32[L+1],
+    syms_sorted int32[S]) for LUT-free canonical decode.
+
+    A window's codeword length is the smallest l with
+    ``(win >> (L-l)) < lim[l]`` (classic canonical first-match), and its
+    canonical index is ``baseoff[l] + (win >> (L-l))``; the symbol is
+    ``syms_sorted[index]``.  This is the decode form the Pallas kernel
+    uses: 16 scalars + a 257-entry map instead of a 2^L LUT gather.
+    """
+    S = lengths.shape[0]
+    L = max_len
+    lens = jnp.clip(lengths.astype(jnp.int32), 0, L)
+    cnt = jnp.zeros((L + 1,), jnp.int32).at[lens].add(
+        jnp.where(lens > 0, 1, 0)
+    )
+    fc = [jnp.int32(0)] * (L + 1)
+    cum = [jnp.int32(0)] * (L + 1)
+    for l in range(1, L + 1):
+        fc[l] = (fc[l - 1] + cnt[l - 1]) << 1
+        cum[l] = cum[l - 1] + cnt[l - 1]
+    lim = jnp.stack(
+        [jnp.int32(0)] + [fc[l] + cnt[l] for l in range(1, L + 1)]
+    )
+    baseoff = jnp.stack(
+        [jnp.int32(0)] + [cum[l] - fc[l] for l in range(1, L + 1)]
+    )
+    syms = jnp.arange(S, dtype=jnp.int32)
+    sort_key = jnp.where(lens > 0, lens, L + 1) * (2 * S) + syms
+    _, syms_sorted = jax.lax.sort((sort_key, syms), num_keys=1)
+    return lim, baseoff, syms_sorted
+
+
+@partial(jax.jit, static_argnames=("max_len",))
 def canonical_codes_device(lengths: jax.Array, max_len: int):
     """lengths int32[S] -> (codes uint32[S], lengths int32[S]).
 
