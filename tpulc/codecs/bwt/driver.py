@@ -21,7 +21,7 @@ Per-block payload (little-endian):
     deltas      u16 * (nchunks-1)   per-chunk bit-size deltas (a
                       CHUNK_SYMS-symbol chunk is <= CHUNK_SYMS*15 bits,
                       so u16 always fits)
-    [n_anchors  u32 + anchors u32*n_anchors   when mode&1]
+    [n_anchors  u32 + anchors 20-bit-packed (5B/pair)   when mode&1]
     words       4B * ceil(total_bits/32)
 """
 
@@ -75,7 +75,38 @@ def _cap_for(block_size: int) -> int:
     return -(-block_size // 256) * 256  # MTF-chunk and CHUNK_SYMS multiple
 
 
-ANCHOR_STRIDE = 1024
+ANCHOR_BITS = 20  # anchors are row indices < cap <= 2^20
+
+
+def _pack_anchors(a: np.ndarray) -> bytes:
+    """uint32[R] (values < 2^20) -> ceil(R/2)*5 bytes (two per 40 bits)."""
+    v = a.astype(np.uint64)
+    if v.shape[0] % 2:
+        v = np.concatenate([v, np.zeros(1, np.uint64)])
+    pairs = v[0::2] | (v[1::2] << np.uint64(ANCHOR_BITS))
+    return pairs.view(np.uint8).reshape(-1, 8)[:, :5].tobytes()
+
+
+def _unpack_anchors(buf: bytes, R: int) -> np.ndarray:
+    rows = np.frombuffer(buf, np.uint8).reshape(-1, 5)
+    full = np.zeros((rows.shape[0], 8), np.uint8)
+    full[:, :5] = rows
+    pairs = full.view(np.uint64).reshape(-1)
+    mask = np.uint64((1 << ANCHOR_BITS) - 1)
+    out = np.empty(rows.shape[0] * 2, np.int32)
+    out[0::2] = (pairs & mask).astype(np.int32)
+    out[1::2] = ((pairs >> np.uint64(ANCHOR_BITS)) & mask).astype(np.int32)
+    return out[:R]
+
+
+def _anchor_bytes(R: int) -> int:
+    return -(-R // 2) * 5
+
+
+# 512-step lane walks halve the inverse-BWT serial depth vs 1024; the
+# extra anchor metadata (~0.4% of a typical block payload) still passes
+# the encoder's anchors-vs-stream pricing.
+ANCHOR_STRIDE = 512
 
 
 @jax.jit
@@ -362,15 +393,16 @@ def compress_block(block: np.ndarray, block_cap: int) -> bytes:
     used_chunks = max(1, -(-m // CHUNK_SYMS))
     offs = np.asarray(chunk_offsets[:used_chunks]).astype(np.int64)
     # anchors pay off only when they are a sliver of the payload
-    mode = 1 if (bool(ok) and 4 * int(np.asarray(anchors).shape[0]) * 20
+    mode = 1 if (bool(ok) and
+                 _anchor_bytes(int(np.asarray(anchors).shape[0])) * 20
                  < nw * 4) else 0
     payload = _BLOCK_HEAD.pack(n, m, idx0, total_bits, mode) + nibbles
     payload += struct.pack("<I", used_chunks)
     payload += struct.pack("<I", int(offs[0]))
     payload += np.diff(offs).astype("<u2").tobytes()
     if mode & 1:
-        a = np.asarray(anchors).astype("<u4")
-        payload += struct.pack("<I", a.shape[0]) + a.tobytes()
+        a = np.asarray(anchors).astype(np.uint32)
+        payload += struct.pack("<I", a.shape[0]) + _pack_anchors(a)
     payload += np.asarray(words[:nw]).astype("<u4").tobytes()
     return payload
 
@@ -423,10 +455,9 @@ def _parse_block(payload: bytes):
     if mode & 1:
         (na,) = struct.unpack("<I", payload[off: off + 4])
         off += 4
-        anchors = np.frombuffer(payload[off: off + 4 * na], "<u4").astype(
-            np.int32
-        )
-        off += 4 * na
+        ab = _anchor_bytes(na)
+        anchors = _unpack_anchors(payload[off: off + ab], na)
+        off += ab
     nw = -(-total_bits // 32)
     words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
     return n, m, idx0, total_bits, lengths, sel, bit_offsets, anchors, words
@@ -620,7 +651,7 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         used_chunks = max(1, -(-m // CHUNK_SYMS))
         offs = ent[b][1: 1 + used_chunks].astype(np.int64)
         anchored = bool(ok_b[b]) and (
-            mt_b[b] or 4 * anchors_b.shape[1] * 20 < nw * 4
+            mt_b[b] or _anchor_bytes(anchors_b.shape[1]) * 20 < nw * 4
         )
         mode = (1 if anchored else 0) | (2 if mt_b[b] else 0)
         payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode)
@@ -635,8 +666,8 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
             sp[:used_chunks] = sel_remap[b][sels[b, :used_chunks]]
             payload += (sp[0::2] | (sp[1::2] << 4)).tobytes()
         if mode & 1:
-            a = anchors_b[b].astype("<u4")
-            payload += struct.pack("<I", a.shape[0]) + a.tobytes()
+            a = anchors_b[b].astype(np.uint32)
+            payload += struct.pack("<I", a.shape[0]) + _pack_anchors(a)
         payload += ent[b][1 + nchunks: 1 + nchunks + nw].astype(
             "<u4"
         ).tobytes()

