@@ -42,3 +42,39 @@ def test_masked_full_pipeline_roundtrip(n):
     assert int(hist.sum()) == int(m)
     back = inverse_masked(syms, m, jnp.int32(n), idx0)
     np.testing.assert_array_equal(np.asarray(back)[:n], data)
+
+
+def test_masked_anchored_roundtrip():
+    import numpy as np
+    from tpulc.codecs.bwt.masked import (
+        bwt_encode_masked_anchored,
+        bwt_decode_masked_anchored,
+        forward_masked_anchored,
+        inverse_masked_anchored,
+    )
+
+    rng = np.random.default_rng(7)
+    cap = 4096
+    for n in (1, 5, 700, 2049, 4096):
+        data = np.zeros(cap, np.uint8)
+        data[:n] = rng.integers(0, 10, n)
+        last, idx0, anchors, ok = bwt_encode_masked_anchored(
+            jnp.asarray(data), jnp.int32(n), 64
+        )
+        if bool(ok):
+            back = bwt_decode_masked_anchored(
+                last, jnp.int32(n), idx0, anchors, 64
+            )
+            assert np.array_equal(np.asarray(back)[:n], data[:n]), n
+
+    # full pipeline with anchors
+    data = np.zeros(cap, np.uint8)
+    txt = (b"the quick brown fox jumps over the lazy dog " * 60)[:2500]
+    data[: len(txt)] = np.frombuffer(txt, np.uint8)
+    n = len(txt)
+    syms, m, idx0, hist, anchors, ok = forward_masked_anchored(
+        jnp.asarray(data), jnp.int32(n), 64
+    )
+    assert bool(ok)
+    back = inverse_masked_anchored(syms, m, jnp.int32(n), idx0, anchors, 64)
+    assert np.asarray(back)[:n].tobytes() == txt

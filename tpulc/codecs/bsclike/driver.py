@@ -18,9 +18,13 @@ Per-block payload (little-endian):
     m           u32   RLE2 symbol count
     idx0        u32   BWT primary index
     nwords      u32   total rANS u16 words
-    flags       u8    bit0: LZP applied; bit1: stored raw
-    freqs       u16 * 257   quantized (2^12) symbol frequencies
+    flags       u8    bit0: LZP applied; bit1: stored raw; bit2: order-1
+                      context model (always set by this encoder);
+                      bit3: decode anchors present
+    [anchors    u32 * ceil(m_lzp/ANCHOR_STRIDE)   when bit3]
+    freqs       u16 * NCTX * 257   per-context quantized (2^12) freqs
     nlanes      u32
+    first_ctx   u8 * nlanes   context class entering each lane
     counts      u16 * nlanes   per-lane word counts
     states      u32 * nlanes   final rANS states
     words       u16 * nwords   per-lane streams back to back
@@ -36,12 +40,19 @@ import numpy as np
 
 from tpulc.codecs.bsclike.rans import (
     CHUNK,
-    build_tables,
-    normalize_freqs,
-    rans_decode,
-    rans_encode,
+    NCTX,
+    build_tables_ctx,
+    ctx_of_stream,
+    normalize_freqs_ctx,
+    rans_decode_ctx_chained,
+    rans_encode_ctx,
 )
-from tpulc.codecs.bwt.masked import forward_masked, inverse_masked
+from tpulc.codecs.bwt.masked import (
+    ANCHOR_STRIDE,
+    forward_masked_anchored,
+    inverse_masked,
+    inverse_masked_anchored,
+)
 from tpulc.codecs.bwt.rle import ALPHABET
 from tpulc.gold.lzp import lzp_decode, lzp_encode
 from tpulc.pipeline.container import Container
@@ -52,6 +63,25 @@ DEFAULT_BLOCK = 25 * 1024 * 1024
 _HEAD = struct.Struct("<IIIIIB")
 FLAG_LZP = 1
 FLAG_STORED = 2
+FLAG_CTX = 4
+FLAG_ANCHORS = 8
+
+
+@jax.jit
+def _ctx_stats(syms, m):
+    """Order-1 stats: ([NCTX, ALPHABET] histograms over the valid
+    prefix, per-position context classes).  Histogram via sort +
+    searchsorted (scatter-free, see bwt driver note)."""
+    cap = syms.shape[0]
+    ctx = ctx_of_stream(syms)
+    valid = jnp.arange(cap, dtype=jnp.int32) < m
+    key = jnp.where(valid, ctx * ALPHABET + syms, NCTX * ALPHABET)
+    ks = jax.lax.sort((key,), num_keys=1)[0]
+    edges = jnp.searchsorted(
+        ks, jnp.arange(NCTX * ALPHABET + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    hists = jnp.diff(edges).reshape(NCTX, ALPHABET)
+    return hists, ctx
 
 
 def _cap_for(block_size: int) -> int:
@@ -61,6 +91,12 @@ def _cap_for(block_size: int) -> int:
 @jax.jit
 def _decode_stage(syms, m, n, idx0):
     return inverse_masked(syms, m, n, idx0)
+
+
+@jax.jit
+def _decode_stage_anchored(syms, m, n, idx0, anchors):
+    return inverse_masked_anchored(syms, m, n, idx0, anchors,
+                                   ANCHOR_STRIDE)
 
 
 def compress_block(block: np.ndarray, block_cap: int,
@@ -77,32 +113,47 @@ def compress_block(block: np.ndarray, block_cap: int,
     m_lzp = stage.shape[0]
     padded = np.zeros(cap, np.uint8)
     padded[:m_lzp] = stage
-    syms, m, idx0, hist = forward_masked(jnp.asarray(padded), jnp.int32(m_lzp))
-    fq = normalize_freqs(np.asarray(hist))
-    freq_d, cum_d, _ = build_tables(fq)
-    words, counts, states = rans_encode(
-        syms, m, jnp.asarray(freq_d), jnp.asarray(cum_d)
+    syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
+        jnp.asarray(padded), jnp.int32(m_lzp)
     )
+    del hist  # order-1 context histograms replace the global one
+    hists, ctx = _ctx_stats(syms, m)
+    fq = normalize_freqs_ctx(np.asarray(hists))
+    freq_d, cum_d, _ = build_tables_ctx(fq)
+    words, counts, states = rans_encode_ctx(
+        syms, ctx, m, jnp.asarray(freq_d), jnp.asarray(cum_d)
+    )
+    first_ctx = ctx.reshape(-1, CHUNK)[:, 0]
     m, idx0 = int(m), int(idx0)
     used_lanes = max(1, -(-m // CHUNK))
     counts_np = np.asarray(counts[:used_lanes])
     states_np = np.asarray(states[:used_lanes]).astype("<u4")
     words_np = np.asarray(words[:used_lanes])
+    fctx_np = np.asarray(first_ctx[:used_lanes]).astype(np.uint8)
     nwords = int(counts_np.sum())
-    body_size = _HEAD.size + 2 * ALPHABET + 4 + 2 * used_lanes \
-        + 4 * used_lanes + 2 * nwords
+    body_size = _HEAD.size + 2 * NCTX * ALPHABET + 4 + 3 * used_lanes \
+        + 4 * used_lanes + 2 * nwords \
+        + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
     if body_size >= n:
         return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
     # compact per-lane words into one stream
     flat = np.zeros(nwords, "<u2")
-    pos = 0
     offs = np.concatenate([[0], np.cumsum(counts_np)]).astype(np.int64)
     for j in range(used_lanes):
         cnt = int(counts_np[j])
         flat[offs[j]: offs[j] + cnt] = words_np[j, :cnt]
+    flags |= FLAG_CTX
+    r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+    anchors_np = None
+    if bool(a_ok):
+        flags |= FLAG_ANCHORS
+        anchors_np = np.asarray(anchors[:r_used]).astype("<u4")
     payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags)
+    if anchors_np is not None:
+        payload += anchors_np.tobytes()
     payload += fq.astype("<u2").tobytes()
     payload += struct.pack("<I", used_lanes)
+    payload += fctx_np.tobytes()
     payload += counts_np.astype("<u2").tobytes()
     payload += states_np.tobytes()
     payload += flat.tobytes()
@@ -114,12 +165,25 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     off = _HEAD.size
     if flags & FLAG_STORED:
         return np.frombuffer(payload[off: off + n], np.uint8)
-    fq = np.frombuffer(payload[off: off + 2 * ALPHABET], "<u2").astype(
-        np.int32
-    )
-    off += 2 * ALPHABET
+    assert flags & FLAG_CTX, "pre-context bsc streams are not supported"
+    cap0 = _cap_for(block_cap)
+    anchors = None
+    if flags & FLAG_ANCHORS:
+        r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+        anchors = np.frombuffer(
+            payload[off: off + 4 * r_used], "<u4"
+        ).astype(np.int32)
+        off += 4 * r_used
+    fq = np.frombuffer(
+        payload[off: off + 2 * NCTX * ALPHABET], "<u2"
+    ).astype(np.int32).reshape(NCTX, ALPHABET)
+    off += 2 * NCTX * ALPHABET
     (nlanes,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
+    fctx = np.frombuffer(payload[off: off + nlanes], np.uint8).astype(
+        np.int32
+    )
+    off += nlanes
     counts = np.frombuffer(payload[off: off + 2 * nlanes], "<u2").astype(
         np.int32
     )
@@ -138,14 +202,25 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     states_p[:nlanes] = states
     counts_p = np.zeros(lcap, np.int32)
     counts_p[:nlanes] = counts
-    freq_d, cum_d, lut = build_tables(fq)
-    syms = rans_decode(
+    fctx_p = np.zeros(lcap, np.int32)
+    fctx_p[:nlanes] = fctx
+    freq_d, cum_d, lut = build_tables_ctx(fq)
+    syms = rans_decode_ctx_chained(
         jnp.asarray(words_p), jnp.asarray(counts_p), jnp.asarray(states_p),
-        jnp.int32(m), jnp.asarray(freq_d), jnp.asarray(cum_d),
-        jnp.asarray(lut),
+        jnp.asarray(fctx_p), jnp.int32(m), jnp.asarray(freq_d),
+        jnp.asarray(cum_d), jnp.asarray(lut),
     )
-    stage = _decode_stage(syms, jnp.int32(m), jnp.int32(m_lzp),
-                          jnp.int32(idx0))
+    if anchors is not None:
+        r_cap = -(-cap0 // ANCHOR_STRIDE)
+        anch_p = np.full(r_cap, idx0, np.int32)
+        anch_p[: anchors.shape[0]] = anchors
+        stage = _decode_stage_anchored(
+            syms, jnp.int32(m), jnp.int32(m_lzp), jnp.int32(idx0),
+            jnp.asarray(anch_p),
+        )
+    else:
+        stage = _decode_stage(syms, jnp.int32(m), jnp.int32(m_lzp),
+                              jnp.int32(idx0))
     stage = np.asarray(stage[:m_lzp])
     if flags & FLAG_LZP:
         return np.frombuffer(lzp_decode(stage, n), np.uint8)

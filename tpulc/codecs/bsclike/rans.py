@@ -149,3 +149,167 @@ def rans_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
 
     x, rpos, out = jax.lax.fori_loop(0, chunk, body, (x0, rpos0, out0))
     return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Order-1 context-conditioned rANS (QLFC-grade modeling, TPU-shaped).
+#
+# libbsc's QLFC coder conditions every binary decision on neighboring
+# rank statistics with adaptive models (`qlfc.cpp:448-752`,
+# `qlfc_model.h`).  Serial adaptation does not vectorize across lanes,
+# but the block is fully available before coding, so the same
+# information is captured by STATIC per-context tables: symbol t is
+# coded under a table selected by the rank class of symbol t-1
+# (order-1 context).  Contexts cost one table select per step and
+# 8x257 quantized frequencies on the wire — and capture most of the
+# conditional-entropy gain that QLFC's adaptivity buys.
+
+NCTX = 8
+
+_CTX_EDGES = (1, 2, 3, 4, 6, 10, 18)  # rank-class buckets (geometric)
+
+
+def ctx_class(s: jax.Array) -> jax.Array:
+    """Map an RLE2 symbol (0..256) to its context class (0..NCTX-1)."""
+    c = jnp.zeros(s.shape, jnp.int32)
+    for e in _CTX_EDGES:
+        c = c + (s >= e).astype(jnp.int32)
+    return c
+
+
+def ctx_of_stream(syms: jax.Array) -> jax.Array:
+    """Per-position context: class of the previous symbol (0 at t=0)."""
+    prev = jnp.concatenate(
+        [jnp.zeros((1,), syms.dtype), syms[:-1]]
+    )
+    return ctx_class(prev)
+
+
+def normalize_freqs_ctx(hists: np.ndarray) -> np.ndarray:
+    """[NCTX, S] raw counts -> [NCTX, S] tables each summing 2^12."""
+    return np.stack([normalize_freqs(h) for h in hists])
+
+
+def build_tables_ctx(freq_q: np.ndarray):
+    """[NCTX, S] quantized freqs -> stacked (freq, cum, slot LUT) device
+    tables; LUT is [NCTX * 2^12] (ctx-major)."""
+    fs, cs, ls = [], [], []
+    for k in range(freq_q.shape[0]):
+        f, c, l = build_tables(freq_q[k])
+        fs.append(f)
+        cs.append(c)
+        ls.append(l)
+    return np.stack(fs), np.stack(cs), np.concatenate(ls)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def rans_encode_ctx(syms: jax.Array, ctx: jax.Array, m: jax.Array,
+                    freq: jax.Array, cum: jax.Array, chunk: int = CHUNK):
+    """`rans_encode` with per-symbol context selecting the table.
+
+    freq/cum are [NCTX, S]; ctx int32[cap] (causal: position t's ctx
+    derives from symbols < t, so the forward decoder can rebuild it).
+    """
+    cap = syms.shape[0]
+    S = freq.shape[1]
+    nlanes = cap // chunk
+    fflat = freq.reshape(-1)
+    cflat = cum.reshape(-1)
+    s2 = syms.reshape(nlanes, chunk)
+    k2 = ctx.reshape(nlanes, chunk)
+    valid = (
+        jnp.arange(cap, dtype=jnp.int32).reshape(nlanes, chunk) < m
+    )
+
+    x0 = jnp.full((nlanes,), RANS_L, jnp.uint32)
+    emit0 = jnp.zeros((chunk, nlanes), jnp.uint16)
+    emask0 = jnp.zeros((chunk, nlanes), bool)
+
+    def body(t, st):
+        x, emit, emask = st
+        j = chunk - 1 - t  # reverse order
+        idx = k2[:, j] * S + s2[:, j]
+        v = valid[:, j]
+        f = fflat[idx].astype(jnp.uint32)
+        c = cflat[idx].astype(jnp.uint32)
+        x_max = f << jnp.uint32(20)
+        do_emit = v & (x >= x_max)
+        emit = jax.lax.dynamic_update_slice(
+            emit, (x & 0xFFFF).astype(jnp.uint16)[None, :], (t, 0)
+        )
+        emask = jax.lax.dynamic_update_slice(
+            emask, do_emit[None, :], (t, 0)
+        )
+        x = jnp.where(do_emit, x >> jnp.uint32(16), x)
+        fx = jnp.maximum(f, 1)
+        x_new = ((x // fx) << jnp.uint32(PROB_BITS)) + (x % fx) + c
+        x = jnp.where(v, x_new, x)
+        return x, emit, emask
+
+    x, emit, emask = jax.lax.fori_loop(0, chunk, body, (x0, emit0, emask0))
+    emit_t = emit.T
+    emask_t = emask.T
+    counts = jnp.sum(emask_t.astype(jnp.int32), axis=1)
+    pos_in_lane = jnp.cumsum(emask_t.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(
+        emask_t, counts[:, None] - 1 - pos_in_lane, chunk + 2
+    )
+    words = jnp.zeros((nlanes, chunk + 2), jnp.uint16)
+    words = words.at[
+        jnp.arange(nlanes, dtype=jnp.int32)[:, None], tgt
+    ].set(emit_t, mode="drop")
+    return words, counts, x
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
+                            states: jax.Array, first_ctx: jax.Array,
+                            m: jax.Array, freq: jax.Array, cum: jax.Array,
+                            lut: jax.Array, chunk: int = CHUNK):
+    """Context-conditioned decode.
+
+    Contexts regenerate on the fly: within a lane, ctx_{t} =
+    class(sym_{t-1}) — sequential exactly like the rANS state itself.
+    Lane boundaries need the class of the previous lane's LAST symbol,
+    which the encoder cannot know cheaply at decode time — so the
+    driver stores `first_ctx` (one class per lane, 3 bits each).
+
+    freq/cum [NCTX, S]; lut [NCTX * 2^12].
+    """
+    nlanes = words.shape[0]
+    S = freq.shape[1]
+    fflat = freq.reshape(-1)
+    cflat = cum.reshape(-1)
+    lane_ids = jnp.arange(nlanes, dtype=jnp.int32)
+    x0 = states.astype(jnp.uint32)
+    rpos0 = jnp.zeros((nlanes,), jnp.int32)
+    out0 = jnp.zeros((nlanes, chunk), jnp.int32)
+    k0 = first_ctx.astype(jnp.int32)
+    valid = (
+        jnp.arange(nlanes * chunk, dtype=jnp.int32).reshape(nlanes, chunk)
+        < m
+    )
+
+    def body(j, st):
+        x, rpos, k, out = st
+        v = valid[:, j]
+        slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
+        s = lut[k * PROB_SCALE + slot]
+        idx = k * S + s
+        f = fflat[idx].astype(jnp.uint32)
+        c = cflat[idx].astype(jnp.uint32)
+        x_new = f * (x >> jnp.uint32(PROB_BITS)) + (
+            x & jnp.uint32(PROB_SCALE - 1)
+        ) - c
+        need = v & (x_new < jnp.uint32(RANS_L))
+        w = words[lane_ids, jnp.minimum(rpos, chunk + 1)].astype(jnp.uint32)
+        x_new2 = jnp.where(need, (x_new << jnp.uint32(16)) | w, x_new)
+        rpos = rpos + need.astype(jnp.int32)
+        x = jnp.where(v, x_new2, x)
+        out = out.at[:, j].set(jnp.where(v, s, 0))
+        k = jnp.where(v, ctx_class(s), k)
+        return x, rpos, k, out
+
+    x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
+                                        (x0, rpos0, k0, out0))
+    return out.reshape(-1)
