@@ -60,11 +60,15 @@ def _parse(argv):
     d = sub.add_parser("decompress")
     d.add_argument("-i", "--input", required=True)
     d.add_argument("-o", "--output", required=True)
+    d.add_argument("--timings", action="store_true",
+                   help="print per-stage timing JSON to stderr")
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = _parse(argv if argv is not None else sys.argv[1:])
+    from tpulc.utils import timing
+    timer = timing.enable() if getattr(args, "timings", False) else None
     with open(args.input, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
@@ -102,6 +106,9 @@ def main(argv=None):
         )
     with open(args.output, "wb") as f:
         f.write(out)
+    if timer is not None:
+        print(timer.json(total_bytes=len(data)), file=sys.stderr)
+        timing.disable()
     return 0
 
 

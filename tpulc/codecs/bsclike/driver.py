@@ -58,6 +58,7 @@ from tpulc.gold.lzp import lzp_decode, lzp_encode
 from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_BSC
 from tpulc.primitives.checksum import adler32_np
+from tpulc.utils import timing
 
 DEFAULT_BLOCK = 25 * 1024 * 1024
 _HEAD = struct.Struct("<IIIIIB")
@@ -106,27 +107,30 @@ def compress_block(block: np.ndarray, block_cap: int,
     flags = 0
     stage = block
     if use_lzp:
-        lz = lzp_encode(block)
+        with timing.stage("bsc.lzp"):
+            lz = lzp_encode(block)
         if lz is not None:
             stage = np.frombuffer(lz, np.uint8)
             flags |= FLAG_LZP
     m_lzp = stage.shape[0]
     padded = np.zeros(cap, np.uint8)
     padded[:m_lzp] = stage
-    syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
-        jnp.asarray(padded), jnp.int32(m_lzp)
-    )
-    del hist  # order-1 context histograms replace the global one
-    hists, ctx = _ctx_stats(syms, m)
-    fq = normalize_freqs_ctx(np.asarray(hists))
+    with timing.stage("bsc.transform"):
+        syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
+            jnp.asarray(padded), jnp.int32(m_lzp)
+        )
+        del hist  # order-1 context histograms replace the global one
+        hists, ctx = _ctx_stats(syms, m)
+        fq = normalize_freqs_ctx(np.asarray(hists))
     freq_d, cum_d, _ = build_tables_ctx(fq)
-    words, counts, states = rans_encode_ctx(
-        syms, ctx, m, jnp.asarray(freq_d), jnp.asarray(cum_d)
-    )
-    first_ctx = ctx.reshape(-1, CHUNK)[:, 0]
-    m, idx0 = int(m), int(idx0)
-    used_lanes = max(1, -(-m // CHUNK))
-    counts_np = np.asarray(counts[:used_lanes])
+    with timing.stage("bsc.rans"):
+        words, counts, states = rans_encode_ctx(
+            syms, ctx, m, jnp.asarray(freq_d), jnp.asarray(cum_d)
+        )
+        first_ctx = ctx.reshape(-1, CHUNK)[:, 0]
+        m, idx0 = int(m), int(idx0)
+        used_lanes = max(1, -(-m // CHUNK))
+        counts_np = np.asarray(counts[:used_lanes])
     states_np = np.asarray(states[:used_lanes]).astype("<u4")
     words_np = np.asarray(words[:used_lanes])
     fctx_np = np.asarray(first_ctx[:used_lanes]).astype(np.uint8)

@@ -50,6 +50,7 @@ from tpulc.pipeline.registry import CODEC_BZ
 from tpulc.primitives.bits import pack_bits
 from tpulc.primitives.checksum import adler32_np
 from tpulc.primitives.mtf import mtf_encode, mtf_decode
+from tpulc.utils import timing
 
 MAX_LEN = 15
 
@@ -548,12 +549,13 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     nchunks = max(1, -(-cap // CHUNK_SYMS))
     # per-block put immediately followed by its dispatch: the tunnel
     # pipelines block b+1's upload under block b's transform
-    per = [_forward_packed_mt(jnp.asarray(blocks[b]), R, K)
-           for b in range(B)]
-    syms = [p[0] for p in per]
-    m_dev = [p[1][0] for p in per]           # device scalars for entropy
-    sel_dev = [p[2] for p in per]
-    metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
+    with timing.stage("bz.forward"):
+        per = [_forward_packed_mt(jnp.asarray(blocks[b]), R, K)
+               for b in range(B)]
+        syms = [p[0] for p in per]
+        m_dev = [p[1][0] for p in per]       # device scalars for entropy
+        sel_dev = [p[2] for p in per]
+        metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
     ms = [int(mt[0]) for mt in metas]
     idx0s = [int(mt[1]) for mt in metas]
     ok_b = np.asarray([bool(mt[2]) for mt in metas])
@@ -634,10 +636,11 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     groups: dict[int, list[int]] = {}
     for b, t in enumerate(takes):
         groups.setdefault(t, []).append(b)
-    for t, idxs in groups.items():
-        pulled = np.asarray(jnp.stack([ent_dev[b] for b in idxs]))
-        for j, b in enumerate(idxs):
-            ent[b] = pulled[j]
+    with timing.stage("bz.entropy+pull"):
+        for t, idxs in groups.items():
+            pulled = np.asarray(jnp.stack([ent_dev[b] for b in idxs]))
+            for j, b in enumerate(idxs):
+                ent[b] = pulled[j]
     payloads = []
     for b in range(B):
         m, idx0, tb = ms[b], idx0s[b], int(ent[b][0])
@@ -742,15 +745,17 @@ def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
         arr[j, o: o + n_anch] = anchors.astype(np.uint32)
         o += n_anch
         arr[j, o: o + words.shape[0]] = words
-    dev = jnp.asarray(arr)  # ONE upload for the batch
+    with timing.stage("bz.inverse.upload"):
+        dev = jnp.asarray(arr)  # ONE upload for the batch
     outs = [_inverse_packed(_row(dev, j), cap, w_pad, K) for j in range(B)]
     # Per-block threaded pulls: block j's D2H transfer rides under
     # blocks j+1..B's device compute (the tunnel D2H is ~35 MB/s, so a
     # single end-of-batch pull would serialize ~100ms behind compute).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
-        pulled = list(ex.map(np.asarray, outs))
+    with timing.stage("bz.inverse+pull"):
+        with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
+            pulled = list(ex.map(np.asarray, outs))
     return [pulled[j][: ns[j]] for j in range(B)]
 
 

@@ -69,3 +69,40 @@ class DeviceTimer(StageTimer):
             dt = time.perf_counter() - t0
             self.stages[name] = self.stages.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+
+
+# ---------------------------------------------------------------------------
+# Opt-in global timer: codecs report stages when the CLI (or a caller)
+# enables it; zero overhead otherwise.
+
+_GLOBAL: StageTimer | None = None
+
+
+def enable() -> StageTimer:
+    """Install (and return) the process-wide stage timer."""
+    global _GLOBAL
+    _GLOBAL = StageTimer()
+    return _GLOBAL
+
+
+def disable() -> None:
+    global _GLOBAL
+    _GLOBAL = None
+
+
+def get() -> StageTimer | None:
+    return _GLOBAL
+
+
+@contextmanager
+def stage(name: str):
+    """Record a stage on the global timer; no-op when disabled.
+
+    Codec hot paths wrap their phases with this — the reference prints
+    per-phase timers unconditionally (`compress.c:882-1006`,
+    `demo.cc:59-168`); tpulc gates them behind `--timings`."""
+    if _GLOBAL is None:
+        yield
+        return
+    with _GLOBAL.stage(name):
+        yield
