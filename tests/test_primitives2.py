@@ -184,3 +184,22 @@ def test_mtf_pallas_kernel_interpret():
     )
     want = np.asarray(ref_phase(jnp.asarray(t0), jnp.asarray(r)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_suffix_array_dc3_device():
+    """Device DC3 (one sample level + doubling) vs naive gold."""
+    import numpy as np
+
+    from tpulc.primitives.dc3_device import suffix_array_dc3
+    from tpulc.primitives.suffix import suffix_array_np
+
+    rng = np.random.default_rng(11)
+    for n in (4, 5, 6, 7, 9, 64, 255, 1000, 1001, 1002):
+        for alpha in (2, 256):
+            data = rng.integers(0, alpha, n).astype(np.uint8)
+            got = np.asarray(suffix_array_dc3(data))
+            assert np.array_equal(got, suffix_array_np(data)), (n, alpha)
+    # repetitive input (deep doubling inside the sample string)
+    data = np.frombuffer(b"abcabcabcabc" * 40 + b"x", np.uint8)
+    got = np.asarray(suffix_array_dc3(data))
+    assert np.array_equal(got, suffix_array_np(data))

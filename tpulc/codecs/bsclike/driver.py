@@ -21,10 +21,11 @@ Per-block payload (little-endian):
     flags       u8    bit0: LZP applied; bit1: stored raw; bit2: order-1
                       context model (always set by this encoder);
                       bit3: decode anchors present
-    [anchors    u32 * ceil(m_lzp/ANCHOR_STRIDE)   when bit3]
+    [anchors    bit-packed ceil(log2(cap))-wide, ceil(m_lzp/1024) of
+                them   when bit3]
     freqs       u16 * NCTX * 257   per-context quantized (2^12) freqs
     nlanes      u32
-    first_ctx   u8 * nlanes   context class entering each lane
+    first_ctx   nibble-packed context class entering each lane
     counts      u16 * nlanes   per-lane word counts
     states      u32 * nlanes   final rANS states
     words       u16 * nwords   per-lane streams back to back
@@ -48,7 +49,6 @@ from tpulc.codecs.bsclike.rans import (
     rans_encode_ctx,
 )
 from tpulc.codecs.bwt.masked import (
-    ANCHOR_STRIDE,
     forward_masked_anchored,
     inverse_masked,
     inverse_masked_anchored,
@@ -61,6 +61,24 @@ from tpulc.primitives.checksum import adler32_np
 from tpulc.utils import timing
 
 DEFAULT_BLOCK = 25 * 1024 * 1024
+ANCHOR_STRIDE = 1024  # bsc blocks are large; halve anchor count
+
+
+def _pack_bits_np(vals: np.ndarray, width: int) -> bytes:
+    """np bit-packer: uint32[R] (< 2^width) -> ceil(R*width/8) bytes."""
+    v = vals.astype(np.uint32)
+    bits = (
+        (v[:, None] >> np.arange(width - 1, -1, -1, dtype=np.uint32)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _unpack_bits_np(buf: bytes, width: int, R: int) -> np.ndarray:
+    bits = np.unpackbits(
+        np.frombuffer(buf, np.uint8), count=R * width
+    ).reshape(R, width).astype(np.uint32)
+    w = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    return (bits << w).sum(axis=1).astype(np.int32)
 _HEAD = struct.Struct("<IIIIIB")
 FLAG_LZP = 1
 FLAG_STORED = 2
@@ -117,7 +135,7 @@ def compress_block(block: np.ndarray, block_cap: int,
     padded[:m_lzp] = stage
     with timing.stage("bsc.transform"):
         syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
-            jnp.asarray(padded), jnp.int32(m_lzp)
+            jnp.asarray(padded), jnp.int32(m_lzp), ANCHOR_STRIDE
         )
         del hist  # order-1 context histograms replace the global one
         hists, ctx = _ctx_stats(syms, m)
@@ -135,9 +153,8 @@ def compress_block(block: np.ndarray, block_cap: int,
     words_np = np.asarray(words[:used_lanes])
     fctx_np = np.asarray(first_ctx[:used_lanes]).astype(np.uint8)
     nwords = int(counts_np.sum())
-    body_size = _HEAD.size + 2 * NCTX * ALPHABET + 4 + 3 * used_lanes \
-        + 4 * used_lanes + 2 * nwords \
-        + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
+    body_size = _HEAD.size + 2 * NCTX * ALPHABET + 4 + 7 * used_lanes \
+        + 2 * nwords + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
     if body_size >= n:
         return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
     # compact per-lane words into one stream
@@ -148,16 +165,19 @@ def compress_block(block: np.ndarray, block_cap: int,
         flat[offs[j]: offs[j] + cnt] = words_np[j, :cnt]
     flags |= FLAG_CTX
     r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+    aw = max(1, int(cap - 1).bit_length())
     anchors_np = None
     if bool(a_ok):
         flags |= FLAG_ANCHORS
-        anchors_np = np.asarray(anchors[:r_used]).astype("<u4")
+        anchors_np = np.asarray(anchors[:r_used]).astype(np.uint32)
     payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags)
     if anchors_np is not None:
-        payload += anchors_np.tobytes()
+        payload += _pack_bits_np(anchors_np, aw)
     payload += fq.astype("<u2").tobytes()
     payload += struct.pack("<I", used_lanes)
-    payload += fctx_np.tobytes()
+    fctx_pad = np.zeros(-(-used_lanes // 2) * 2, np.uint8)
+    fctx_pad[:used_lanes] = fctx_np
+    payload += (fctx_pad[0::2] | (fctx_pad[1::2] << 4)).tobytes()
     payload += counts_np.astype("<u2").tobytes()
     payload += states_np.tobytes()
     payload += flat.tobytes()
@@ -174,20 +194,23 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     anchors = None
     if flags & FLAG_ANCHORS:
         r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
-        anchors = np.frombuffer(
-            payload[off: off + 4 * r_used], "<u4"
-        ).astype(np.int32)
-        off += 4 * r_used
+        aw = max(1, int(cap0 - 1).bit_length())
+        nb = -(-r_used * aw // 8)
+        anchors = _unpack_bits_np(payload[off: off + nb], aw, r_used)
+        off += nb
     fq = np.frombuffer(
         payload[off: off + 2 * NCTX * ALPHABET], "<u2"
     ).astype(np.int32).reshape(NCTX, ALPHABET)
     off += 2 * NCTX * ALPHABET
     (nlanes,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
-    fctx = np.frombuffer(payload[off: off + nlanes], np.uint8).astype(
-        np.int32
-    )
-    off += nlanes
+    fb = -(-nlanes // 2)
+    fpk = np.frombuffer(payload[off: off + fb], np.uint8)
+    fctx = np.zeros(fb * 2, np.int32)
+    fctx[0::2] = fpk & 0xF
+    fctx[1::2] = fpk >> 4
+    fctx = fctx[:nlanes]
+    off += fb
     counts = np.frombuffer(payload[off: off + 2 * nlanes], "<u2").astype(
         np.int32
     )
