@@ -23,7 +23,7 @@ Per-block payload (little-endian):
                       bit3: decode anchors present
     [anchors    bit-packed ceil(log2(cap))-wide, ceil(m_lzp/1024) of
                 them   when bit3]
-    freqs       u16 * NCTX * 257   per-context quantized (2^12) freqs
+    freqs       NCTX * (33B presence bitmap + u16 per present symbol)
     nlanes      u32
     first_ctx   nibble-packed context class entering each lane
     counts      u16 * nlanes   per-lane word counts
@@ -84,6 +84,36 @@ FLAG_LZP = 1
 FLAG_STORED = 2
 FLAG_CTX = 4
 FLAG_ANCHORS = 8
+
+
+def _pack_freq_tables(fq: np.ndarray) -> bytes:
+    """[NCTX, ALPHABET] quantized freqs -> per-context (33-byte
+    presence bitmap + u16 per present symbol).  Typical contexts hold
+    well under half the alphabet, ~3x smaller than the dense u16 grid.
+    """
+    parts = []
+    for k in range(fq.shape[0]):
+        present = fq[k] > 0
+        bits = np.zeros(264, np.uint8)
+        bits[: ALPHABET] = present
+        parts.append(np.packbits(bits).tobytes())
+        parts.append(fq[k][present].astype("<u2").tobytes())
+    return b"".join(parts)
+
+
+def _unpack_freq_tables(buf: bytes, off: int):
+    fq = np.zeros((NCTX, ALPHABET), np.int32)
+    for k in range(NCTX):
+        bits = np.unpackbits(
+            np.frombuffer(buf[off: off + 33], np.uint8)
+        )[:ALPHABET].astype(bool)
+        off += 33
+        nnz = int(bits.sum())
+        fq[k][bits] = np.frombuffer(
+            buf[off: off + 2 * nnz], "<u2"
+        ).astype(np.int32)
+        off += 2 * nnz
+    return fq, off
 
 
 @jax.jit
@@ -173,7 +203,7 @@ def compress_block(block: np.ndarray, block_cap: int,
     payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags)
     if anchors_np is not None:
         payload += _pack_bits_np(anchors_np, aw)
-    payload += fq.astype("<u2").tobytes()
+    payload += _pack_freq_tables(fq)
     payload += struct.pack("<I", used_lanes)
     fctx_pad = np.zeros(-(-used_lanes // 2) * 2, np.uint8)
     fctx_pad[:used_lanes] = fctx_np
@@ -198,10 +228,7 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         nb = -(-r_used * aw // 8)
         anchors = _unpack_bits_np(payload[off: off + nb], aw, r_used)
         off += nb
-    fq = np.frombuffer(
-        payload[off: off + 2 * NCTX * ALPHABET], "<u2"
-    ).astype(np.int32).reshape(NCTX, ALPHABET)
-    off += 2 * NCTX * ALPHABET
+    fq, off = _unpack_freq_tables(payload, off)
     (nlanes,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
     fb = -(-nlanes // 2)
