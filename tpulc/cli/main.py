@@ -19,27 +19,6 @@ from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import available_codecs, get_codec
 
 
-def _compress_bsc_nolzp(data: bytes, block_size: int) -> bytes:
-    import numpy as np
-
-    from tpulc.codecs.bsclike import driver
-    from tpulc.pipeline.container import Container as C
-    from tpulc.pipeline.registry import CODEC_BSC
-    from tpulc.primitives.checksum import adler32_np
-
-    arr = np.frombuffer(data, np.uint8)
-    payloads = [
-        driver.compress_block(arr[s: s + block_size], block_size,
-                              use_lzp=False)
-        for s in range(0, max(len(arr), 1), block_size)
-    ]
-    return C(
-        codec_id=CODEC_BSC, flags=0, orig_len=len(arr),
-        block_size=block_size, comp_sizes=[len(p) for p in payloads],
-        payloads=payloads, data_adler=adler32_np(arr),
-    ).to_bytes()
-
-
 def _parse(argv):
     p = argparse.ArgumentParser(prog="tpulc")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -80,12 +59,8 @@ def main(argv=None):
         if args.codec == "bzip2" and args.level is not None:
             kwargs["level"] = args.level
         if args.codec == "bsc" and args.no_lzp:
-            from tpulc.codecs.bsclike import driver as _bsc
-            # honored via per-block kwarg
-            out = _compress_bsc_nolzp(data, args.block_size)
-            kwargs = None
-        if kwargs is not None:
-            out = codec.compress(data, **kwargs)
+            kwargs["use_lzp"] = False
+        out = codec.compress(data, **kwargs)
         dt = time.perf_counter() - t0
         ratio = len(data) / max(len(out), 1)
         print(

@@ -42,11 +42,16 @@ import numpy as np
 from tpulc.codecs.bsclike.rans import (
     CHUNK,
     NCTX,
+    PROB_SCALE,
     build_tables_ctx,
+    compact_words,
     ctx_of_stream,
+    expand_words,
     normalize_freqs_ctx,
+    rans_decode_ctx_batch,
     rans_decode_ctx_chained,
     rans_encode_ctx,
+    rans_encode_ctx_batch,
 )
 from tpulc.codecs.bwt.masked import (
     forward_masked_anchored,
@@ -281,19 +286,164 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     return stage[:n]
 
 
-def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK) -> bytes:
+@jax.jit
+def _fwd_packed(padded, n):
+    """Transform + stats with small outputs packed into one int32 meta
+    row: [m, idx0, ok, anchors(Rcap), hists(NCTX*ALPHABET), fctx(lcap)].
+    syms/ctx stay on device for the batched entropy stage."""
+    cap = padded.shape[0]
+    syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
+        padded, n, ANCHOR_STRIDE
+    )
+    del hist
+    hists, ctx = _ctx_stats(syms, m)
+    fctx = ctx.reshape(-1, CHUNK)[:, 0]
+    meta = jnp.concatenate([
+        jnp.stack([m, idx0, a_ok.astype(jnp.int32)]),
+        anchors,
+        hists.reshape(-1),
+        fctx,
+    ])
+    return syms, ctx, meta
+
+
+@jax.jit
+def _stack_gctx(ctx2):
+    """[B, cap] local contexts -> global (block-offset) contexts."""
+    B = ctx2.shape[0]
+    return ctx2 + (jnp.arange(B, dtype=jnp.int32) * NCTX)[:, None]
+
+
+@jax.jit
+def _lut_from_freqs(freq, cum):
+    """[R, S] quantized tables -> flat slot->symbol LUT int32[R * 2^PB]
+    built on device (uploading host LUTs costs B*NCTX*2^PB ints)."""
+    slots = jnp.arange(PROB_SCALE, dtype=jnp.int32)
+    ends = cum + freq  # searchsorted over cumulative ends
+
+    def row(e):
+        return jnp.searchsorted(e, slots, side="right").astype(jnp.int32)
+
+    return jax.vmap(row)(ends).reshape(-1)
+
+
+def _bucket(x: int, lo: int = 4096) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
+             use_lzp: bool = True) -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
-    n = arr.shape[0]
-    payloads = []
-    for start in range(0, max(n, 1), block_size):
-        payloads.append(
-            compress_block(arr[start: start + block_size], block_size)
+    n_total = arr.shape[0]
+    cap = _cap_for(block_size)
+    lcap = max(1, cap // CHUNK)
+    r_cap = -(-cap // ANCHOR_STRIDE)
+    aw = max(1, int(cap - 1).bit_length())
+    starts = list(range(0, max(n_total, 1), block_size))
+    B = len(starts)
+
+    # host LZP + transform dispatch (uploads pipeline under compute)
+    stages, flags_l, devs = [], [], []
+    for s in starts:
+        block = arr[s: s + block_size]
+        flags = 0
+        stage = block
+        if use_lzp:
+            with timing.stage("bsc.lzp"):
+                lz = lzp_encode(block)
+            if lz is not None:
+                stage = np.frombuffer(lz, np.uint8)
+                flags |= FLAG_LZP
+        stages.append((block, stage))
+        flags_l.append(flags)
+        padded = np.zeros(cap, np.uint8)
+        padded[: stage.shape[0]] = stage
+        devs.append(_fwd_packed(jnp.asarray(padded), jnp.int32(stage.shape[0])))
+
+    with timing.stage("bsc.transform"):
+        metas = np.asarray(jnp.stack([d[2] for d in devs]))  # ONE pull
+    ms = metas[:, 0].astype(np.int64)
+    idx0s = metas[:, 1]
+    oks = metas[:, 2].astype(bool)
+    anchors_all = metas[:, 3: 3 + r_cap]
+    hists = metas[:, 3 + r_cap: 3 + r_cap + NCTX * ALPHABET].reshape(
+        B, NCTX, ALPHABET
+    )
+    fctx_all = metas[:, 3 + r_cap + NCTX * ALPHABET:]
+
+    fqs = np.stack([normalize_freqs_ctx(h) for h in hists])  # [B,NCTX,S]
+    freq_d = jnp.asarray(fqs.reshape(B * NCTX, ALPHABET).astype(np.int32))
+    cum_np = np.concatenate(
+        [np.zeros((B * NCTX, 1), np.int32),
+         np.cumsum(fqs.reshape(B * NCTX, ALPHABET), axis=1)[:, :-1]
+         .astype(np.int32)],
+        axis=1,
+    )
+    cum_d = jnp.asarray(cum_np)
+
+    with timing.stage("bsc.rans"):
+        syms2 = jnp.stack([d[0] for d in devs])
+        gctx2 = _stack_gctx(jnp.stack([d[1] for d in devs]))
+        words, counts, states = rans_encode_ctx_batch(
+            syms2, gctx2, jnp.asarray(ms.astype(np.int32)), freq_d, cum_d
         )
+        counts_np = np.asarray(counts)          # [B*lcap] small pull
+        total_words = int(counts_np.sum())
+        flat = np.asarray(
+            compact_words(words, counts, _bucket(max(total_words, 1)))
+        )[:total_words]
+        states_np = np.asarray(states)
+
+    lane_offs = np.concatenate([[0], np.cumsum(counts_np)]).astype(np.int64)
+    payloads = []
+    for b in range(B):
+        block, stage = stages[b]
+        n = block.shape[0]
+        m_lzp = stage.shape[0]
+        m = int(ms[b])
+        used_lanes = max(1, -(-m // CHUNK))
+        lane0 = b * lcap
+        cnts = counts_np[lane0: lane0 + used_lanes]
+        nwords = int(cnts.sum())
+        r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+        flags = flags_l[b] | FLAG_CTX
+        body_size = _HEAD.size + 33 * NCTX + 2 * int(
+            (fqs[b] > 0).sum()
+        ) + 4 + 7 * used_lanes + 2 * nwords + -(-r_used * aw // 8)
+        if body_size >= n:
+            payloads.append(
+                _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
+            )
+            continue
+        if oks[b]:
+            flags |= FLAG_ANCHORS
+        payload = _HEAD.pack(n, m_lzp, m, int(idx0s[b]), nwords, flags)
+        if oks[b]:
+            payload += _pack_bits_np(
+                anchors_all[b, :r_used].astype(np.uint32), aw
+            )
+        payload += _pack_freq_tables(fqs[b])
+        payload += struct.pack("<I", used_lanes)
+        fctx_pad = np.zeros(-(-used_lanes // 2) * 2, np.uint8)
+        fctx_pad[:used_lanes] = fctx_all[b, :used_lanes].astype(np.uint8)
+        payload += (fctx_pad[0::2] | (fctx_pad[1::2] << 4)).tobytes()
+        payload += cnts.astype("<u2").tobytes()
+        payload += states_np[lane0: lane0 + used_lanes].astype(
+            "<u4"
+        ).tobytes()
+        payload += flat[
+            lane_offs[lane0]: lane_offs[lane0] + nwords
+        ].astype("<u2").tobytes()
+        payloads.append(payload)
+
     c = Container(
-        codec_id=CODEC_BSC, flags=0, orig_len=n, block_size=block_size,
-        comp_sizes=[len(p) for p in payloads], payloads=payloads,
-        data_adler=adler32_np(arr),
+        codec_id=CODEC_BSC, flags=0, orig_len=n_total,
+        block_size=block_size, comp_sizes=[len(p) for p in payloads],
+        payloads=payloads, data_adler=adler32_np(arr),
     )
     return c.to_bytes()
 
@@ -301,8 +451,121 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK) -> bytes
 def decompress(buf: bytes) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_BSC
-    parts = [decompress_block(p, c.block_size) for p in c.payloads]
-    out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
+    cap = _cap_for(c.block_size)
+    lcap = max(1, cap // CHUNK)
+    r_cap = -(-cap // ANCHOR_STRIDE)
+    aw = max(1, int(cap - 1).bit_length())
+
+    parsed = []
+    for p in c.payloads:
+        n, m_lzp, m, idx0, nwords, flags = _HEAD.unpack(p[: _HEAD.size])
+        off = _HEAD.size
+        if flags & FLAG_STORED:
+            parsed.append(("stored", np.frombuffer(
+                p[off: off + n], np.uint8
+            )))
+            continue
+        assert flags & FLAG_CTX
+        anchors = None
+        if flags & FLAG_ANCHORS:
+            r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+            nb = -(-r_used * aw // 8)
+            anchors = _unpack_bits_np(p[off: off + nb], aw, r_used)
+            off += nb
+        fq, off = _unpack_freq_tables(p, off)
+        (nlanes,) = struct.unpack("<I", p[off: off + 4])
+        off += 4
+        fb = -(-nlanes // 2)
+        fpk = np.frombuffer(p[off: off + fb], np.uint8)
+        fctx = np.zeros(fb * 2, np.int32)
+        fctx[0::2] = fpk & 0xF
+        fctx[1::2] = fpk >> 4
+        fctx = fctx[:nlanes]
+        off += fb
+        counts = np.frombuffer(p[off: off + 2 * nlanes], "<u2").astype(
+            np.int32
+        )
+        off += 2 * nlanes
+        states = np.frombuffer(p[off: off + 4 * nlanes], "<u4")
+        off += 4 * nlanes
+        flat = np.frombuffer(p[off: off + 2 * nwords], "<u2")
+        parsed.append((
+            "block", n, m_lzp, m, idx0, flags, anchors, fq, fctx,
+            counts, states, flat,
+        ))
+
+    blocks_idx = [i for i, pr in enumerate(parsed) if pr[0] == "block"]
+    outs: list = [None] * len(parsed)
+    if blocks_idx:
+        B = len(blocks_idx)
+        counts_all = np.zeros(B * lcap, np.int32)
+        states_all = np.full(B * lcap, 1 << 16, np.uint32)
+        fctx_all = np.zeros(B * lcap, np.int32)
+        flats = []
+        fq_all = np.zeros((B * NCTX, ALPHABET), np.int32)
+        ms = np.zeros(B, np.int32)
+        for j, i in enumerate(blocks_idx):
+            _, n, m_lzp, m, idx0, flags, anchors, fq, fctx, counts, \
+                states, flat = parsed[i]
+            lane0 = j * lcap
+            counts_all[lane0: lane0 + counts.shape[0]] = counts
+            states_all[lane0: lane0 + states.shape[0]] = states
+            fctx_all[lane0: lane0 + fctx.shape[0]] = fctx + j * NCTX
+            fctx_all[lane0 + fctx.shape[0]: lane0 + lcap] = j * NCTX
+            flats.append(flat)
+            fq_all[j * NCTX: (j + 1) * NCTX] = fq
+            ms[j] = m
+        flat_all = np.concatenate(flats) if flats else np.zeros(1, "<u2")
+        with timing.stage("bsc.rans.decode"):
+            freq_d = jnp.asarray(fq_all)
+            cum_np = np.concatenate(
+                [np.zeros((B * NCTX, 1), np.int32),
+                 np.cumsum(fq_all, axis=1)[:, :-1].astype(np.int32)],
+                axis=1,
+            )
+            cum_d = jnp.asarray(cum_np)
+            lut = _lut_from_freqs(freq_d, cum_d)
+            rows = expand_words(
+                jnp.asarray(flat_all.astype(np.uint16)),
+                jnp.asarray(counts_all),
+            )
+            syms2 = rans_decode_ctx_batch(
+                rows, jnp.asarray(counts_all), jnp.asarray(states_all),
+                jnp.asarray(fctx_all), jnp.asarray(ms), freq_d, cum_d,
+                lut, B,
+            )
+        stages_dev = []
+        for j, i in enumerate(blocks_idx):
+            _, n, m_lzp, m, idx0, flags, anchors, fq, fctx, counts, \
+                states, flat = parsed[i]
+            syms = syms2[j]
+            if anchors is not None:
+                anch_p = np.full(r_cap, idx0, np.int32)
+                anch_p[: anchors.shape[0]] = anchors
+                st = _decode_stage_anchored(
+                    syms, jnp.int32(m), jnp.int32(m_lzp),
+                    jnp.int32(idx0), jnp.asarray(anch_p),
+                )
+            else:
+                st = _decode_stage(syms, jnp.int32(m), jnp.int32(m_lzp),
+                                   jnp.int32(idx0))
+            stages_dev.append(st)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with timing.stage("bsc.inverse+pull"):
+            with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
+                pulled = list(ex.map(np.asarray, stages_dev))
+        for j, i in enumerate(blocks_idx):
+            _, n, m_lzp, m, idx0, flags, *_ = parsed[i]
+            stage = pulled[j][:m_lzp]
+            if flags & FLAG_LZP:
+                outs[i] = np.frombuffer(lzp_decode(stage, n), np.uint8)
+            else:
+                outs[i] = stage[:n]
+    for i, pr in enumerate(parsed):
+        if pr[0] == "stored":
+            outs[i] = pr[1]
+    out = b"".join(x.tobytes() for x in outs)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")
     return out

@@ -321,3 +321,151 @@ def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
     x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
                                         (x0, rpos0, k0, out0))
     return out.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Batched (multi-block) context rANS: all blocks' lanes run in ONE
+# lockstep loop.  The serial axis (symbols within a lane) is the
+# wall-clock cost on TPU; lanes are nearly free — so B blocks coded
+# together cost ~1/B the dispatches of per-block loops.  Per-block
+# tables stack as [B*NCTX, S]; the caller pre-offsets each block's
+# context ids by block*NCTX.
+
+@partial(jax.jit, static_argnames=("chunk",))
+def rans_encode_ctx_batch(syms2: jax.Array, gctx2: jax.Array,
+                          ms: jax.Array, freq: jax.Array, cum: jax.Array,
+                          chunk: int = CHUNK):
+    """syms2/gctx2 int32[B, cap]; ms int32[B]; freq/cum [B*NCTX, S].
+
+    Returns (words uint16[B*nlanes, chunk+2], counts int32[B*nlanes],
+    states uint32[B*nlanes]) with lanes block-major.
+    """
+    B, cap = syms2.shape
+    S = freq.shape[1]
+    nlanes = cap // chunk
+    fflat = freq.reshape(-1)
+    cflat = cum.reshape(-1)
+    s2 = syms2.reshape(B * nlanes, chunk)
+    k2 = gctx2.reshape(B * nlanes, chunk)
+    pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    valid = (pos < ms[:, None]).reshape(B * nlanes, chunk)
+
+    L = B * nlanes
+    x0 = jnp.full((L,), RANS_L, jnp.uint32)
+    emit0 = jnp.zeros((chunk, L), jnp.uint16)
+    emask0 = jnp.zeros((chunk, L), bool)
+
+    def body(t, st):
+        x, emit, emask = st
+        j = chunk - 1 - t
+        idx = k2[:, j] * S + s2[:, j]
+        v = valid[:, j]
+        f = fflat[idx].astype(jnp.uint32)
+        c = cflat[idx].astype(jnp.uint32)
+        x_max = f << jnp.uint32(32 - PROB_BITS)
+        do_emit = v & (x >= x_max)
+        emit = jax.lax.dynamic_update_slice(
+            emit, (x & 0xFFFF).astype(jnp.uint16)[None, :], (t, 0)
+        )
+        emask = jax.lax.dynamic_update_slice(
+            emask, do_emit[None, :], (t, 0)
+        )
+        x = jnp.where(do_emit, x >> jnp.uint32(16), x)
+        fx = jnp.maximum(f, 1)
+        x_new = ((x // fx) << jnp.uint32(PROB_BITS)) + (x % fx) + c
+        x = jnp.where(v, x_new, x)
+        return x, emit, emask
+
+    x, emit, emask = jax.lax.fori_loop(0, chunk, body, (x0, emit0, emask0))
+    emit_t = emit.T
+    emask_t = emask.T
+    counts = jnp.sum(emask_t.astype(jnp.int32), axis=1)
+    pos_in_lane = jnp.cumsum(emask_t.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(
+        emask_t, counts[:, None] - 1 - pos_in_lane, chunk + 2
+    )
+    words = jnp.zeros((L, chunk + 2), jnp.uint16)
+    words = words.at[
+        jnp.arange(L, dtype=jnp.int32)[:, None], tgt
+    ].set(emit_t, mode="drop")
+    return words, counts, x
+
+
+@partial(jax.jit, static_argnames=("chunk", "B"))
+def rans_decode_ctx_batch(words: jax.Array, counts: jax.Array,
+                          states: jax.Array, first_gctx: jax.Array,
+                          ms: jax.Array, freq: jax.Array, cum: jax.Array,
+                          lut: jax.Array, B: int, chunk: int = CHUNK):
+    """Batched `rans_decode_ctx_chained`.
+
+    words [B*nlanes, chunk+2]; first_gctx pre-offset by block*NCTX;
+    freq/cum [B*NCTX, S]; lut [B*NCTX*2^PROB_BITS].  In-lane contexts
+    regenerate as block*NCTX + class(prev symbol).
+    """
+    L = words.shape[0]
+    nlanes = L // B
+    S = freq.shape[1]
+    fflat = freq.reshape(-1)
+    cflat = cum.reshape(-1)
+    lane_ids = jnp.arange(L, dtype=jnp.int32)
+    blk = lane_ids // nlanes
+    x0 = states.astype(jnp.uint32)
+    rpos0 = jnp.zeros((L,), jnp.int32)
+    out0 = jnp.zeros((L, chunk), jnp.int32)
+    k0 = first_gctx.astype(jnp.int32)
+    pos = (lane_ids % nlanes)[:, None] * chunk + jnp.arange(
+        chunk, dtype=jnp.int32
+    )[None, :]
+    valid = pos < ms[blk][:, None]
+
+    def body(j, st):
+        x, rpos, k, out = st
+        v = valid[:, j]
+        slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
+        s = lut[k * PROB_SCALE + slot]
+        idx = k * S + s
+        f = fflat[idx].astype(jnp.uint32)
+        c = cflat[idx].astype(jnp.uint32)
+        x_new = f * (x >> jnp.uint32(PROB_BITS)) + (
+            x & jnp.uint32(PROB_SCALE - 1)
+        ) - c
+        need = v & (x_new < jnp.uint32(RANS_L))
+        w = words[lane_ids, jnp.minimum(rpos, chunk + 1)].astype(jnp.uint32)
+        x_new2 = jnp.where(need, (x_new << jnp.uint32(16)) | w, x_new)
+        rpos = rpos + need.astype(jnp.int32)
+        x = jnp.where(v, x_new2, x)
+        out = out.at[:, j].set(jnp.where(v, s, 0))
+        k = jnp.where(v, blk * NCTX + ctx_class(s), k)
+        return x, rpos, k, out
+
+    x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
+                                        (x0, rpos0, k0, out0))
+    return out.reshape(B, nlanes * chunk)
+
+
+@partial(jax.jit, static_argnames=("take",))
+def compact_words(words: jax.Array, counts: jax.Array, take: int):
+    """[L, chunk+2] padded lane words + per-lane counts -> flat uint16
+    [take] (lane-major concatenation).  Device-side so only the true
+    stream crosses the host link (the padded grid is ~6x larger)."""
+    L, W = words.shape
+    offs = jnp.cumsum(counts) - counts
+    iota = jnp.arange(W, dtype=jnp.int32)[None, :]
+    valid = iota < counts[:, None]
+    tgt = jnp.where(valid, offs[:, None] + iota, jnp.int32(2 ** 30))
+    _, flat = jax.lax.sort(
+        (tgt.reshape(-1), words.reshape(-1)), num_keys=1
+    )
+    return flat[:take]
+
+
+@jax.jit
+def expand_words(flat: jax.Array, counts: jax.Array):
+    """Inverse of `compact_words`: flat uint16 + counts -> padded rows
+    [L, chunk+2] (one gather)."""
+    W = flat.shape[0]
+    offs = jnp.cumsum(counts) - counts
+    iota = jnp.arange(CHUNK + 2, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(offs[:, None] + iota, 0, W - 1)
+    valid = iota < counts[:, None]
+    return jnp.where(valid, flat[idx], 0)
