@@ -86,3 +86,54 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_multihost_assembly_single_process():
+    """compress_multihost on one process == plain compress semantics."""
+    import numpy as np
+
+    from tpulc.dist.multihost import (
+        assemble_container,
+        block_owner,
+        compress_multihost,
+        local_block_indices,
+    )
+    from tpulc.pipeline.registry import get_codec
+
+    data = (b"multi host block parallel compression " * 400)[:12000]
+    out = compress_multihost(data, block_size=4096, codec_name="huffman")
+    assert out is not None
+    assert get_codec("huffman").decompress(out) == data
+
+
+def test_multihost_assembly_ordering():
+    """Round-robin stripes from N fake processes reassemble in order."""
+    import numpy as np
+
+    from tpulc.dist.multihost import (
+        assemble_container,
+        local_block_indices,
+    )
+    from tpulc.pipeline.container import Container
+    from tpulc.pipeline.registry import CODEC_STORE, get_codec
+    from tpulc.primitives.checksum import adler32_np
+    from tpulc.codecs import store
+
+    data = bytes(range(256)) * 40          # 10240 bytes
+    bs = 1024
+    n_blocks = 10
+    n_procs = 3
+    arr = np.frombuffer(data, np.uint8)
+    per_proc = []
+    for p in range(n_procs):
+        payloads = []
+        for b in local_block_indices(n_blocks, p, n_procs):
+            sub = Container.from_bytes(store.compress(
+                arr[b * bs: (b + 1) * bs].tobytes(), block_size=bs
+            ))
+            payloads.append(sub.payloads[0])
+        per_proc.append(payloads)
+    buf = assemble_container(
+        CODEC_STORE, len(data), bs, n_blocks, per_proc, adler32_np(arr)
+    )
+    assert get_codec(CODEC_STORE).decompress(buf) == data

@@ -32,6 +32,10 @@ def available_codecs() -> dict[str, int]:
     return dict(_NAMES)
 
 
+def codec_id_of(name: str) -> int:
+    return _NAMES[name]
+
+
 def get_codec(name_or_id: str | int):
     """Resolve a codec driver module lazily by name or id."""
     if isinstance(name_or_id, str):
