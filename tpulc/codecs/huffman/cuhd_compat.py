@@ -119,7 +119,6 @@ def cuhd_decode(stream: bytes, lengths: dict[int, int], n_out: int
     import jax.numpy as jnp
 
     from tpulc.codecs.huffman.decode import huffman_decode
-    from tpulc.codecs.huffman.tables import HuffmanTable
 
     table = llhuff_encoder_table(lengths)
     lens_arr = np.zeros(256, np.int32)

@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 
 PCKT = 4096
 WIN = 128
