@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from tpulc.codecs.bwt.rotsort import bwt_encode
+from tpulc.codecs.bwt.masked import bwt_encode_masked
 from tpulc.codecs.bwt.rle import rle2_encode
 from tpulc.primitives.checksum import crc32_bzip2_np
 from tpulc.primitives.mtf import mtf_encode
@@ -340,20 +340,28 @@ def send_mtf_values(bw: BitWriter, mtfv: np.ndarray, alpha_size: int):
 
 
 def compress_block_bits(bw: BitWriter, block: np.ndarray,
-                        in_use: np.ndarray, crc: int):
+                        in_use: np.ndarray, crc: int, cap: int):
     bw.w(24, 0x314159)
     bw.w(24, 0x265359)
     bw.w(32, crc)
     bw.w(1, 0)  # not randomised
 
     # BWT + MTF + RLE2 on device (libbzip2's descending rotation-tie
-    # order so origPtr matches on periodic blocks)
-    last, idx0 = bwt_encode(jnp.asarray(block), tie_desc=True)
+    # order so origPtr matches on periodic blocks).  The masked BWT
+    # runs at a fixed level-derived capacity: RLE1 block lengths vary
+    # per block, and exact-shape programs would recompile every block.
+    n = block.shape[0]
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = block
+    last_m, idx0 = bwt_encode_masked(
+        jnp.asarray(padded), jnp.int32(n), tie_desc=True
+    )
+    last = np.asarray(last_m)[:n]
     bw.w(24, int(idx0))
 
     seq = np.cumsum(in_use) - 1  # unseqToSeq over used symbols
     n_in_use = int(in_use.sum())
-    remapped = seq[np.asarray(last)].astype(np.uint8)
+    remapped = seq[last].astype(np.uint8)
     # MTF/RLE2 are causal: pad to the kernel grid, trim after.  The
     # rank pad value 255 (a literal) cleanly closes any trailing zero
     # run, and pad literals map 1:1 so a count-trim is exact.
@@ -386,8 +394,9 @@ def bz2_compress(data: bytes | np.ndarray, level: int = 9) -> bytes:
     bw.w(8, ord("h"))
     bw.w(8, ord("0") + level)
     combined = 0
+    cap = -(-(level * 100_000) // 256) * 256
     for block, in_use, crc in rle1_split_blocks(arr, level):
-        compress_block_bits(bw, block, in_use, crc)
+        compress_block_bits(bw, block, in_use, crc, cap)
         combined = (((combined << 1) | (combined >> 31)) ^ crc) & 0xFFFFFFFF
     bw.w(24, 0x177245)
     bw.w(24, 0x385090)
