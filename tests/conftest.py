@@ -19,3 +19,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Test shapes are stable across runs; persist compiled programs so a
+# rerun only pays CPU-backend XLA compiles for programs that changed.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap in-process XLA/LLVM state growth: after ~200 big CPU-backend
+    compiles in one process the executable serializer aborts (observed
+    as 'Fatal Python error: Aborted' in compilation_cache.put).  Module-
+    scoped clearing keeps each module's jits shared while bounding the
+    live-executable set; the persistent disk cache makes cross-module
+    re-hits cheap."""
+    yield
+    jax.clear_caches()

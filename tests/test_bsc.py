@@ -32,6 +32,8 @@ def test_lzp_incompressible_returns_none():
 def test_bsc_roundtrip_repetitive():
     base = _pg(200000)
     data = base + base
+    # needs one 512K block: the duplicate halves are 200KB apart, so
+    # LZP only sees the repeat when both copies share a block
     comp = driver.compress(data, block_size=1 << 19)
     assert driver.decompress(comp) == data
     # repetitive corpus: LZP + block sorting must beat bzip2 -9

@@ -27,7 +27,7 @@ def test_bz_roundtrip_structured():
     rng = np.random.default_rng(22)
     words = [b"the ", b"and ", b"compression ", b"block ", b"a ", b"of "]
     data = b"".join(words[i] for i in rng.integers(0, 6, size=20000))[:80000]
-    comp = driver.compress(data, block_size=65536)
+    comp = driver.compress(data, block_size=32768)
     assert driver.decompress(comp) == data
     ratio = len(data) / len(comp)
     assert ratio > 3.0, ratio
@@ -50,7 +50,9 @@ def test_bz_vs_real_bzip2_ratio():
         b"age of wisdom, it was the age of foolishness, it was the epoch "
         b"of belief, it was the epoch of incredulity. " * 500
     )
-    ours = driver.compress(text, block_size=len(text) + 64)
+    # 1<<17 shares the compiled cap with test_multitable (the CPU-suite
+    # wall clock is dominated by per-cap XLA compiles on small hosts)
+    ours = driver.compress(text, block_size=1 << 17)
     theirs = bz2.compress(text, 9)
     # within 2x of libbzip2 (no multi-table Huffman yet)
     assert len(ours) < 2 * len(theirs), (len(ours), len(theirs))

@@ -68,13 +68,12 @@ def test_mt_roundtrip(pattern):
 def test_mt_beats_single_table_on_mixed_statistics():
     rng = np.random.default_rng(5)
     parts = []
-    for i in range(64):
+    for i in range(32):
         lo, hi = (97, 105) if i % 2 == 0 else (0, 256)
         parts.append(rng.integers(lo, hi, 4096, dtype=np.uint8))
-    data = np.concatenate(parts).tobytes()
-    comp = driver.compress(data, block_size=len(data) + 256)
-    # single-table encoder: the standalone block API
-    single = driver.compress_block(
-        np.frombuffer(data, np.uint8), len(data) + 256
-    )
+    data = np.concatenate(parts).tobytes()  # exactly 1<<17 bytes
+    # 1<<17 shares the compiled cap with the roundtrip tests above
+    comp = driver.compress(data, block_size=1 << 17)
+    # single-table encoder: the standalone block API at the same cap
+    single = driver.compress_block(np.frombuffer(data, np.uint8), 1 << 17)
     assert len(comp) < 0.93 * len(single), (len(comp), len(single))

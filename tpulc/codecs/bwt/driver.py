@@ -747,10 +747,11 @@ def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
         arr[j, o: o + words.shape[0]] = words
     with timing.stage("bz.inverse.upload"):
         dev = jnp.asarray(arr)  # ONE upload for the batch
+    # Per-block programs beat a vmapped batch here (measured on the
+    # v5e: the batched inverse ran ~1.5x slower — the same effect as
+    # the forward's vmap note below); block j's D2H pull threads under
+    # blocks j+1..B's device compute.
     outs = [_inverse_packed(_row(dev, j), cap, w_pad, K) for j in range(B)]
-    # Per-block threaded pulls: block j's D2H transfer rides under
-    # blocks j+1..B's device compute (the tunnel D2H is ~35 MB/s, so a
-    # single end-of-batch pull would serialize ~100ms behind compute).
     from concurrent.futures import ThreadPoolExecutor
 
     with timing.stage("bz.inverse+pull"):

@@ -75,20 +75,27 @@ def _refine_ranks_masked(data, idx, n, benign_ties: bool = True):
     run = (_zero_run_mask_masked(data, idx, n) if benign_ties
            else jnp.zeros((cap,), jnp.int32))
 
-    # Initial ranks from the 4-byte cyclic prefix: doubled data buffer,
-    # three wrap slices; padding sorts after everything (primary key).
+    # Initial ranks from the 8-byte cyclic prefix (two packed u32 keys,
+    # rotsort trajectory 8 -> 64 -> 512): doubled data buffer, wrap
+    # slices; padding sorts after everything (primary key).
     d2 = _doubled(data.astype(jnp.uint32), nn, 0)
     b0 = data.astype(jnp.uint32)
-    b1 = _wrap_slice(d2, 1 % nn, cap)
-    b2 = _wrap_slice(d2, 2 % nn, cap)
-    b3 = _wrap_slice(d2, 3 % nn, cap)
-    key4 = (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+    bs = [b0] + [_wrap_slice(d2, j % nn, cap) for j in range(1, 8)]
+    key4a = (bs[0] << 24) | (bs[1] << 16) | (bs[2] << 8) | bs[3]
+    key4b = (bs[4] << 24) | (bs[5] << 16) | (bs[6] << 8) | bs[7]
     prim = jnp.where(real, 0, 1)
-    sec = jnp.where(real, key4, idx.astype(jnp.uint32))
-    p_s, k_s, order0, run0 = jax.lax.sort(
-        (prim, sec, idx, run), num_keys=2, is_stable=True
+    seca = jnp.where(real, key4a, idx.astype(jnp.uint32))
+    secb = jnp.where(real, key4b, 0)
+    # (idx, run) packed into one payload operand (run in bit 30; see
+    # rotsort._refine_ranks)
+    pidx = idx | (run << 30)
+    p_s, ka_s, kb_s, p0 = jax.lax.sort(
+        (prim, seca, secb, pidx), num_keys=3, is_stable=True
     )
-    diff0 = (p_s[1:] != p_s[:-1]) | (k_s[1:] != k_s[:-1])
+    order0 = p0 & ((1 << 30) - 1)
+    run0 = p0 >> 30
+    diff0 = (p_s[1:] != p_s[:-1]) | (ka_s[1:] != ka_s[:-1]) \
+        | (kb_s[1:] != kb_s[:-1])
     grp0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), diff0.astype(jnp.int32)]
     )
@@ -105,8 +112,8 @@ def _refine_ranks_masked(data, idx, n, benign_ties: bool = True):
         keys = [rank] + [
             _wrap_slice(r2, (j * k) % nn, cap) for j in range(1, _FAN)
         ]
-        out = jax.lax.sort((*keys, idx, run), num_keys=_FAN, is_stable=True)
-        order = out[_FAN]
+        out = jax.lax.sort((*keys, pidx), num_keys=_FAN, is_stable=True)
+        order = out[_FAN] & ((1 << 30) - 1)
         diff = out[0][1:] != out[0][:-1]
         for r in out[1:_FAN]:
             diff = diff | (r[1:] != r[:-1])
@@ -114,11 +121,11 @@ def _refine_ranks_masked(data, idx, n, benign_ties: bool = True):
             [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
         )
         rank = _scatter_perm(order, jnp.cumsum(newgrp))
-        done = ~jnp.any(_tied_rows(diff) & (out[_FAN + 1] == 0))
+        done = ~jnp.any(_tied_rows(diff) & ((out[_FAN] >> 30) == 0))
         return rank, k * _FAN, done
 
     rank, _, done = jax.lax.while_loop(
-        cond, body, (rank0, jnp.int32(4), done0)
+        cond, body, (rank0, jnp.int32(8), done0)
     )
     return rank, done
 

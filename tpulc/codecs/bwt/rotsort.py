@@ -40,10 +40,11 @@ def _scatter_perm(order: jax.Array, values: jax.Array) -> jax.Array:
 
 
 # Ranks composed per round: prefix length multiplies by _FAN each
-# round.  Measured on the v5e with the benign-tie early exit: fan 6
-# (4 -> 24 -> 144 covered in two 8-operand sorts) beats fan 4 (three
-# rounds) by ~25% on text blocks; wider fans lose to operand overhead.
-_FAN = 6
+# round.  With the 8-byte initial key the depth trajectory is
+# 8 -> 64 -> 512: measured on text-like blocks (bench corpus needs
+# depth 33..64), fan 8 resolves in ONE 9-operand refinement round where
+# fan 6 from a 4-byte key (4 -> 24 -> 144) needed two.
+_FAN = 8
 
 
 def _zero_run_mask(data, idx, n):
@@ -88,18 +89,25 @@ def _refine_ranks(data, idx, n, benign_ties: bool = True):
     k, e.g. fully periodic blocks)."""
     run = (_zero_run_mask(data, idx, n) if benign_ties
            else jnp.zeros((n,), jnp.int32))
+    # (idx, run) ride the refinement sorts as ONE packed payload operand
+    # (idx < 2^27 blocks; run in bit 30): one less operand to permute
+    # per multi-operand sort round.
+    pidx = idx | (run << 30)
 
-    # Initial ranks from the 4-byte prefix (packed uint32 keys): one
-    # sort covers what two fan-4 rounds over byte ranks would.
+    # Initial ranks from the 8-byte prefix (two packed uint32 keys):
+    # one 2-key sort covers depth 8 before refinement starts.
     byte = data.astype(jnp.uint32)
-    key4 = (
+    key4a = (
         (byte << 24) | (jnp.roll(byte, -1) << 16)
         | (jnp.roll(byte, -2) << 8) | jnp.roll(byte, -3)
     )
-    k_sorted, order0, run0 = jax.lax.sort(
-        (key4, idx, run), num_keys=1, is_stable=True
+    key4b = jnp.roll(key4a, -4)
+    ka_s, kb_s, p0 = jax.lax.sort(
+        (key4a, key4b, pidx), num_keys=2, is_stable=True
     )
-    diff0 = k_sorted[1:] != k_sorted[:-1]
+    order0 = p0 & ((1 << 30) - 1)
+    run0 = p0 >> 30
+    diff0 = (ka_s[1:] != ka_s[:-1]) | (kb_s[1:] != kb_s[:-1])
     grp0 = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), diff0.astype(jnp.int32)]
     )
@@ -113,8 +121,8 @@ def _refine_ranks(data, idx, n, benign_ties: bool = True):
     def body(state):
         rank, k, _ = state
         keys = [rank] + [jnp.roll(rank, -k * j) for j in range(1, _FAN)]
-        out = jax.lax.sort((*keys, idx, run), num_keys=_FAN, is_stable=True)
-        order = out[_FAN]
+        out = jax.lax.sort((*keys, pidx), num_keys=_FAN, is_stable=True)
+        order = out[_FAN] & ((1 << 30) - 1)
         # sorted keys come straight from the sort operands; the rank
         # scatter is a key-value sort (see module docstring).
         diff = out[0][1:] != out[0][:-1]
@@ -124,53 +132,13 @@ def _refine_ranks(data, idx, n, benign_ties: bool = True):
             [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
         )
         rank = _scatter_perm(order, jnp.cumsum(newgrp))
-        done = ~jnp.any(_tied_rows(diff) & (out[_FAN + 1] == 0))
+        done = ~jnp.any(_tied_rows(diff) & ((out[_FAN] >> 30) == 0))
         return rank, k * _FAN, done
 
     rank, _, done = jax.lax.while_loop(
-        cond, body, (rank0, jnp.int32(4), done0)
+        cond, body, (rank0, jnp.int32(8), done0)
     )
     return rank, done
-
-
-def _rank_rounds(rank0, idx, n):
-    """Classic-interface refinement (no early exit) from given initial
-    ranks; kept for callers that build their own rank0."""
-
-    def cond(state):
-        rank, k = state
-        return (k < n) & (jnp.max(rank) < n - 1)
-
-    def body(state):
-        rank, k = state
-        keys = [rank] + [jnp.roll(rank, -k * j) for j in range(1, _FAN)]
-        out = jax.lax.sort((*keys, idx), num_keys=_FAN, is_stable=True)
-        order = out[-1]
-        diff = out[0][1:] != out[0][:-1]
-        for r in out[1:_FAN]:
-            diff = diff | (r[1:] != r[:-1])
-        newgrp = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
-        )
-        rank = _scatter_perm(order, jnp.cumsum(newgrp))
-        return rank, k * _FAN
-
-    return jax.lax.while_loop(cond, body, (rank0, jnp.int32(4)))
-
-
-def _initial_rank(data, idx, n):
-    """Dense ranks from the 4-byte prefix (packed uint32 keys)."""
-    byte = data.astype(jnp.uint32)
-    key4 = (
-        (byte << 24) | (jnp.roll(byte, -1) << 16)
-        | (jnp.roll(byte, -2) << 8) | jnp.roll(byte, -3)
-    )
-    k_sorted, order0 = jax.lax.sort((key4, idx), num_keys=1, is_stable=True)
-    grp0 = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         (k_sorted[1:] != k_sorted[:-1]).astype(jnp.int32)]
-    )
-    return _scatter_perm(order0, jnp.cumsum(grp0))
 
 
 @partial(jax.jit, static_argnames=("tie_desc",))
