@@ -25,7 +25,7 @@ Per-block payload (little-endian):
                 them   when bit3]
     freqs       NCTX * (33B presence bitmap + u16 per present symbol)
     nlanes      u32
-    first_ctx   nibble-packed context class entering each lane
+    first_ctx   5-bit-packed context id entering each lane
     counts      u16 * nlanes   per-lane word counts
     states      u32 * nlanes   final rANS states
     words       u16 * nwords   per-lane streams back to back
@@ -85,6 +85,7 @@ def _unpack_bits_np(buf: bytes, width: int, R: int) -> np.ndarray:
     w = np.arange(width - 1, -1, -1, dtype=np.uint32)
     return (bits << w).sum(axis=1).astype(np.int32)
 _HEAD = struct.Struct("<IIIIIB")
+FCTX_BITS = 5  # context ids < NCTX = 32
 FLAG_LZP = 1
 FLAG_STORED = 2
 FLAG_CTX = 4
@@ -92,12 +93,18 @@ FLAG_ANCHORS = 8
 
 
 def _pack_freq_tables(fq: np.ndarray) -> bytes:
-    """[NCTX, ALPHABET] quantized freqs -> per-context (33-byte
-    presence bitmap + u16 per present symbol).  Typical contexts hold
-    well under half the alphabet, ~3x smaller than the dense u16 grid.
-    """
-    parts = []
-    for k in range(fq.shape[0]):
+    """[NCTX, ALPHABET] quantized freqs -> u32 context-presence mask,
+    then per PRESENT context (33-byte presence bitmap + u16 per present
+    symbol).  Unused contexts (never entered in the stream) cost zero
+    bytes; typical contexts hold well under half the alphabet, ~3x
+    smaller than the dense u16 grid."""
+    # a context whose table is the default (symbol-0-certain — what
+    # normalize_freqs emits for never-entered contexts) ships as one
+    # mask bit; the decoder reconstructs the identical table.
+    used = ~((fq[:, 0] == PROB_SCALE) & (fq[:, 1:].sum(axis=1) == 0))
+    mask = int(sum(1 << k for k in np.flatnonzero(used)))
+    parts = [struct.pack("<I", mask)]
+    for k in np.flatnonzero(used):
         present = fq[k] > 0
         bits = np.zeros(264, np.uint8)
         bits[: ALPHABET] = present
@@ -107,8 +114,15 @@ def _pack_freq_tables(fq: np.ndarray) -> bytes:
 
 
 def _unpack_freq_tables(buf: bytes, off: int):
+    (mask,) = struct.unpack("<I", buf[off: off + 4])
+    off += 4
     fq = np.zeros((NCTX, ALPHABET), np.int32)
     for k in range(NCTX):
+        if not (mask >> k) & 1:
+            # never-entered context: decoder tables default to
+            # symbol-0-certain (normalize_freqs of an empty histogram)
+            fq[k][0] = PROB_SCALE
+            continue
         bits = np.unpackbits(
             np.frombuffer(buf[off: off + 33], np.uint8)
         )[:ALPHABET].astype(bool)
@@ -188,8 +202,9 @@ def compress_block(block: np.ndarray, block_cap: int,
     words_np = np.asarray(words[:used_lanes])
     fctx_np = np.asarray(first_ctx[:used_lanes]).astype(np.uint8)
     nwords = int(counts_np.sum())
-    body_size = _HEAD.size + 2 * NCTX * ALPHABET + 4 + 7 * used_lanes \
-        + 2 * nwords + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
+    body_size = _HEAD.size + 2 * NCTX * ALPHABET + 4 + 6 * used_lanes \
+        + -(-used_lanes * FCTX_BITS // 8) + 2 * nwords \
+        + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
     if body_size >= n:
         return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
     # compact per-lane words into one stream
@@ -210,9 +225,7 @@ def compress_block(block: np.ndarray, block_cap: int,
         payload += _pack_bits_np(anchors_np, aw)
     payload += _pack_freq_tables(fq)
     payload += struct.pack("<I", used_lanes)
-    fctx_pad = np.zeros(-(-used_lanes // 2) * 2, np.uint8)
-    fctx_pad[:used_lanes] = fctx_np
-    payload += (fctx_pad[0::2] | (fctx_pad[1::2] << 4)).tobytes()
+    payload += _pack_bits_np(fctx_np.astype(np.uint32), FCTX_BITS)
     payload += counts_np.astype("<u2").tobytes()
     payload += states_np.tobytes()
     payload += flat.tobytes()
@@ -236,12 +249,8 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     fq, off = _unpack_freq_tables(payload, off)
     (nlanes,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
-    fb = -(-nlanes // 2)
-    fpk = np.frombuffer(payload[off: off + fb], np.uint8)
-    fctx = np.zeros(fb * 2, np.int32)
-    fctx[0::2] = fpk & 0xF
-    fctx[1::2] = fpk >> 4
-    fctx = fctx[:nlanes]
+    fb = -(-nlanes * FCTX_BITS // 8)
+    fctx = _unpack_bits_np(payload[off: off + fb], FCTX_BITS, nlanes)
     off += fb
     counts = np.frombuffer(payload[off: off + 2 * nlanes], "<u2").astype(
         np.int32
@@ -413,7 +422,8 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
         flags = flags_l[b] | FLAG_CTX
         body_size = _HEAD.size + 33 * NCTX + 2 * int(
             (fqs[b] > 0).sum()
-        ) + 4 + 7 * used_lanes + 2 * nwords + -(-r_used * aw // 8)
+        ) + 4 + 6 * used_lanes + -(-used_lanes * FCTX_BITS // 8) \
+            + 2 * nwords + -(-r_used * aw // 8)
         if body_size >= n:
             payloads.append(
                 _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
@@ -428,9 +438,9 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             )
         payload += _pack_freq_tables(fqs[b])
         payload += struct.pack("<I", used_lanes)
-        fctx_pad = np.zeros(-(-used_lanes // 2) * 2, np.uint8)
-        fctx_pad[:used_lanes] = fctx_all[b, :used_lanes].astype(np.uint8)
-        payload += (fctx_pad[0::2] | (fctx_pad[1::2] << 4)).tobytes()
+        payload += _pack_bits_np(
+            fctx_all[b, :used_lanes].astype(np.uint32), FCTX_BITS
+        )
         payload += cnts.astype("<u2").tobytes()
         payload += states_np[lane0: lane0 + used_lanes].astype(
             "<u4"
@@ -475,12 +485,8 @@ def decompress(buf: bytes) -> bytes:
         fq, off = _unpack_freq_tables(p, off)
         (nlanes,) = struct.unpack("<I", p[off: off + 4])
         off += 4
-        fb = -(-nlanes // 2)
-        fpk = np.frombuffer(p[off: off + fb], np.uint8)
-        fctx = np.zeros(fb * 2, np.int32)
-        fctx[0::2] = fpk & 0xF
-        fctx[1::2] = fpk >> 4
-        fctx = fctx[:nlanes]
+        fb = -(-nlanes * FCTX_BITS // 8)
+        fctx = _unpack_bits_np(p[off: off + fb], FCTX_BITS, nlanes)
         off += fb
         counts = np.frombuffer(p[off: off + 2 * nlanes], "<u2").astype(
             np.int32

@@ -8,7 +8,7 @@ parallel (`coder.cpp:52-61`) — the symbol stream is cut into
 fixed-size chunks, each coded by an independent rANS lane, thousands
 of lanes running in lockstep on the VPU.
 
-Classic 32-bit rANS, 12-bit quantized frequencies, 16-bit renorm (at
+Classic 32-bit rANS, 14-bit quantized frequencies, 16-bit renorm (at
 most one emission per symbol), per-lane word counts in the container.
 
 Encode walks each chunk in reverse (rANS is LIFO); decode walks
@@ -26,7 +26,7 @@ import numpy as np
 # 14-bit quantization: the 257-symbol alphabet forces every present
 # symbol to >= 1 slot, so coarser scales waste ~1% of probability mass
 # per context on rare-symbol floors; 14 bits quarters that loss (the
-# 8 x 2^14 decode LUT is still tiny for VMEM/HBM).
+# NCTX x 2^14 decode LUT is still small for HBM).
 PROB_BITS = 14
 PROB_SCALE = 1 << PROB_BITS
 RANS_L = 1 << 16
@@ -38,7 +38,7 @@ CHUNK = 512
 
 
 def normalize_freqs(freqs: np.ndarray) -> np.ndarray:
-    """Quantize frequencies to sum 2^12 with every present symbol >= 1."""
+    """Quantize frequencies to sum 2^PROB_BITS, every present sym >= 1."""
     freqs = np.asarray(freqs, np.int64)
     total = freqs.sum()
     if total == 0:
@@ -89,8 +89,12 @@ def rans_encode(syms: jax.Array, m: jax.Array, freq: jax.Array,
         v = valid[:, j]
         f = freq[s].astype(jnp.uint32)
         c = cum[s].astype(jnp.uint32)
+        # f == PROB_SCALE (a probability-1 symbol: single-symbol
+        # context) makes the true renorm threshold 2^32 -- never emit;
+        # the u32 shift would wrap it to 0 and emit a word the decoder
+        # never consumes.
         x_max = f << jnp.uint32(32 - PROB_BITS)
-        do_emit = v & (x >= x_max)
+        do_emit = v & (x >= x_max) & (f < jnp.uint32(PROB_SCALE))
         emit = jax.lax.dynamic_update_slice(
             emit, (x & 0xFFFF).astype(jnp.uint16)[None, :], (t, 0)
         )
@@ -160,47 +164,59 @@ def rans_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Order-1 context-conditioned rANS (QLFC-grade modeling, TPU-shaped).
+# Order-2 context-conditioned rANS (QLFC-grade modeling, TPU-shaped).
 #
 # libbsc's QLFC coder conditions every binary decision on neighboring
 # rank statistics with adaptive models (`qlfc.cpp:448-752`,
 # `qlfc_model.h`).  Serial adaptation does not vectorize across lanes,
 # but the block is fully available before coding, so the same
 # information is captured by STATIC per-context tables: symbol t is
-# coded under a table selected by the rank class of symbol t-1
-# (order-1 context).  Contexts cost one table select per step and
-# 8x257 quantized frequencies on the wire — and capture most of the
-# conditional-entropy gain that QLFC's adaptivity buys.
+# coded under a table selected by the rank classes of symbols t-1 and
+# t-2.  Measured on BWT+MTF+RLE2 streams, the 8-bucket order-1 class
+# already saturates order-1 information (finer/exact prev-symbol
+# contexts gain < 0.1%), while adding a 4-bucket class of sym t-2
+# cuts the stream a further ~5%.  Contexts cost one table select per
+# step and 32x257 sparse quantized frequencies on the wire.
 
-NCTX = 8
+_C1 = 8   # rank-class buckets of sym t-1
+_C2 = 4   # coarse buckets of sym t-2
+NCTX = _C1 * _C2
 
 _CTX_EDGES = (1, 2, 3, 4, 6, 10, 18)  # rank-class buckets (geometric)
 
 
 def ctx_class(s: jax.Array) -> jax.Array:
-    """Map an RLE2 symbol (0..256) to its context class (0..NCTX-1)."""
+    """Map an RLE2 symbol (0..256) to its order-1 class (0.._C1-1)."""
     c = jnp.zeros(s.shape, jnp.int32)
     for e in _CTX_EDGES:
         c = c + (s >= e).astype(jnp.int32)
     return c
 
 
+def ctx_combine(c1: jax.Array, c2: jax.Array) -> jax.Array:
+    """(class(sym t-1), class(sym t-2)) -> context id (0..NCTX-1)."""
+    return c1 * _C2 + jnp.minimum(c2, _C2 - 1)
+
+
 def ctx_of_stream(syms: jax.Array) -> jax.Array:
-    """Per-position context: class of the previous symbol (0 at t=0)."""
+    """Per-position order-2 context (class 0 history at t<=1)."""
     prev = jnp.concatenate(
         [jnp.zeros((1,), syms.dtype), syms[:-1]]
     )
-    return ctx_class(prev)
+    prev2 = jnp.concatenate(
+        [jnp.zeros((2,), syms.dtype), syms[:-2]]
+    )
+    return ctx_combine(ctx_class(prev), ctx_class(prev2))
 
 
 def normalize_freqs_ctx(hists: np.ndarray) -> np.ndarray:
-    """[NCTX, S] raw counts -> [NCTX, S] tables each summing 2^12."""
+    """[NCTX, S] raw counts -> [NCTX, S] tables each summing 2^PROB_BITS."""
     return np.stack([normalize_freqs(h) for h in hists])
 
 
 def build_tables_ctx(freq_q: np.ndarray):
     """[NCTX, S] quantized freqs -> stacked (freq, cum, slot LUT) device
-    tables; LUT is [NCTX * 2^12] (ctx-major)."""
+    tables; LUT is [NCTX * 2^PROB_BITS] (ctx-major)."""
     fs, cs, ls = [], [], []
     for k in range(freq_q.shape[0]):
         f, c, l = build_tables(freq_q[k])
@@ -240,8 +256,12 @@ def rans_encode_ctx(syms: jax.Array, ctx: jax.Array, m: jax.Array,
         v = valid[:, j]
         f = fflat[idx].astype(jnp.uint32)
         c = cflat[idx].astype(jnp.uint32)
+        # f == PROB_SCALE (a probability-1 symbol: single-symbol
+        # context) makes the true renorm threshold 2^32 -- never emit;
+        # the u32 shift would wrap it to 0 and emit a word the decoder
+        # never consumes.
         x_max = f << jnp.uint32(32 - PROB_BITS)
-        do_emit = v & (x >= x_max)
+        do_emit = v & (x >= x_max) & (f < jnp.uint32(PROB_SCALE))
         emit = jax.lax.dynamic_update_slice(
             emit, (x & 0xFFFF).astype(jnp.uint16)[None, :], (t, 0)
         )
@@ -282,7 +302,7 @@ def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
     which the encoder cannot know cheaply at decode time — so the
     driver stores `first_ctx` (one class per lane, 3 bits each).
 
-    freq/cum [NCTX, S]; lut [NCTX * 2^12].
+    freq/cum [NCTX, S]; lut [NCTX * 2^PROB_BITS].
     """
     nlanes = words.shape[0]
     S = freq.shape[1]
@@ -315,7 +335,9 @@ def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
         rpos = rpos + need.astype(jnp.int32)
         x = jnp.where(v, x_new2, x)
         out = out.at[:, j].set(jnp.where(v, s, 0))
-        k = jnp.where(v, ctx_class(s), k)
+        # order-2 regeneration: the carried id's high bits ARE the
+        # class of sym t-1, which becomes the t-2 component next step
+        k = jnp.where(v, ctx_combine(ctx_class(s), k // _C2), k)
         return x, rpos, k, out
 
     x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
@@ -362,8 +384,12 @@ def rans_encode_ctx_batch(syms2: jax.Array, gctx2: jax.Array,
         v = valid[:, j]
         f = fflat[idx].astype(jnp.uint32)
         c = cflat[idx].astype(jnp.uint32)
+        # f == PROB_SCALE (a probability-1 symbol: single-symbol
+        # context) makes the true renorm threshold 2^32 -- never emit;
+        # the u32 shift would wrap it to 0 and emit a word the decoder
+        # never consumes.
         x_max = f << jnp.uint32(32 - PROB_BITS)
-        do_emit = v & (x >= x_max)
+        do_emit = v & (x >= x_max) & (f < jnp.uint32(PROB_SCALE))
         emit = jax.lax.dynamic_update_slice(
             emit, (x & 0xFFFF).astype(jnp.uint16)[None, :], (t, 0)
         )
@@ -435,7 +461,10 @@ def rans_decode_ctx_batch(words: jax.Array, counts: jax.Array,
         rpos = rpos + need.astype(jnp.int32)
         x = jnp.where(v, x_new2, x)
         out = out.at[:, j].set(jnp.where(v, s, 0))
-        k = jnp.where(v, blk * NCTX + ctx_class(s), k)
+        kl = k - blk * NCTX
+        k = jnp.where(
+            v, blk * NCTX + ctx_combine(ctx_class(s), kl // _C2), k
+        )
         return x, rpos, k, out
 
     x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
@@ -462,7 +491,10 @@ def compact_words(words: jax.Array, counts: jax.Array, take: int):
 @jax.jit
 def expand_words(flat: jax.Array, counts: jax.Array):
     """Inverse of `compact_words`: flat uint16 + counts -> padded rows
-    [L, chunk+2] (one gather)."""
+    [L, chunk+2] (one gather).  Handles the zero-word stream (every
+    symbol probability-1: single-symbol contexts emit nothing)."""
+    if flat.shape[0] == 0:
+        flat = jnp.zeros((1,), flat.dtype)
     W = flat.shape[0]
     offs = jnp.cumsum(counts) - counts
     iota = jnp.arange(CHUNK + 2, dtype=jnp.int32)[None, :]

@@ -18,9 +18,9 @@ Per-block payload (little-endian):
     lengths     129B  257 code lengths, nibble-packed
     nchunks     u32
     offset0     u32   absolute bit offset of chunk 0
-    deltas      u16 * (nchunks-1)   per-chunk bit-size deltas (a
-                      CHUNK_SYMS-symbol chunk is <= CHUNK_SYMS*15 bits,
-                      so u16 always fits)
+    deltas      11-bit-packed * (nchunks-1)   per-chunk bit-size deltas
+                      (a CHUNK_SYMS-symbol chunk is <= CHUNK_SYMS*15 =
+                      1920 < 2^11 bits)
     [n_anchors  u32 + anchors 20-bit-packed (5B/pair)   when mode&1]
     words       4B * ceil(total_bits/32)
 """
@@ -66,7 +66,7 @@ def _default_backend() -> str:
 # backend used by tests interprets Mosaic kernels too slowly).
 _PALLAS_DECODE = _default_backend() not in ("cpu",)
 # 128-symbol chunks halve the serial decode trip count vs 256; the
-# offsets table costs the same bytes because deltas ship as u16.
+# offsets table ships as 11-bit-packed per-chunk deltas.
 CHUNK_SYMS = 128
 _BLOCK_HEAD = struct.Struct("<IIIIB")
 _NIBBLES = (ALPHABET + 1) // 2 + ((ALPHABET + 1) % 2)  # 129 bytes
@@ -77,6 +77,31 @@ def _cap_for(block_size: int) -> int:
 
 
 ANCHOR_BITS = 20  # anchors are row indices < cap <= 2^20
+DELTA_BITS = 11   # chunk bit-size < CHUNK_SYMS * MAX_LEN = 1920 < 2^11
+SEL_BITS = 3      # table count K <= 6
+
+
+def _pack_fields_np(vals: np.ndarray, width: int) -> bytes:
+    """uint values (< 2^width) -> MSB-first bit-packed bytes."""
+    v = vals.astype(np.uint32)
+    bits = (
+        (v[:, None] >> np.arange(width - 1, -1, -1, dtype=np.uint32)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1)).tobytes()
+
+
+def _unpack_fields_np(buf: bytes, width: int, count: int) -> np.ndarray:
+    if count == 0:
+        return np.zeros(0, np.int64)
+    bits = np.unpackbits(
+        np.frombuffer(buf, np.uint8), count=count * width
+    ).reshape(count, width).astype(np.uint32)
+    w = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    return (bits << w).sum(axis=1).astype(np.int64)
+
+
+def _fields_bytes(count: int, width: int) -> int:
+    return -(-count * width // 8)
 
 
 def _pack_anchors(a: np.ndarray) -> bytes:
@@ -400,7 +425,7 @@ def compress_block(block: np.ndarray, block_cap: int) -> bytes:
     payload = _BLOCK_HEAD.pack(n, m, idx0, total_bits, mode) + nibbles
     payload += struct.pack("<I", used_chunks)
     payload += struct.pack("<I", int(offs[0]))
-    payload += np.diff(offs).astype("<u2").tobytes()
+    payload += _pack_fields_np(np.diff(offs), DELTA_BITS)
     if mode & 1:
         a = np.asarray(anchors).astype(np.uint32)
         payload += struct.pack("<I", a.shape[0]) + _pack_anchors(a)
@@ -436,22 +461,19 @@ def _parse_block(payload: bytes):
     off += 4
     (off0,) = struct.unpack("<I", payload[off: off + 4])
     off += 4
-    deltas = np.frombuffer(
-        payload[off: off + 2 * (nchunks - 1)], "<u2"
-    ).astype(np.int64)
-    off += 2 * (nchunks - 1)
+    db = _fields_bytes(nchunks - 1, DELTA_BITS)
+    deltas = _unpack_fields_np(payload[off: off + db], DELTA_BITS,
+                               nchunks - 1)
+    off += db
     bit_offsets = (
         off0 + np.concatenate([[0], np.cumsum(deltas)])
     ).astype(np.int32)
     sel = None
     if mode & 2:
-        sb = (nchunks + 1) // 2
-        packed = np.frombuffer(payload[off: off + sb], np.uint8)
+        sb = _fields_bytes(nchunks, SEL_BITS)
+        sel = _unpack_fields_np(payload[off: off + sb], SEL_BITS,
+                                nchunks).astype(np.uint8)
         off += sb
-        sel = np.zeros(sb * 2, np.uint8)
-        sel[0::2] = packed & 0xF
-        sel[1::2] = packed >> 4
-        sel = sel[:nchunks]
     anchors = None
     if mode & 1:
         (na,) = struct.unpack("<I", payload[off: off + 4])
@@ -595,7 +617,7 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
             ))
             extra = 8 * (
                 1 + (len(used_tabs) - 1) * _NIBBLES
-                + (used_chunks + 1) // 2
+                + _fields_bytes(used_chunks, SEL_BITS)
             )  # K byte + extra tables + selectors, in bits
             mt = tb_mt + extra < tb_single
         if mt:
@@ -663,11 +685,12 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         payload += nibbles
         payload += struct.pack("<I", used_chunks)
         payload += struct.pack("<I", int(offs[0]))
-        payload += np.diff(offs).astype("<u2").tobytes()
+        payload += _pack_fields_np(np.diff(offs), DELTA_BITS)
         if mt_b[b]:
-            sp = np.zeros(((used_chunks + 1) // 2) * 2, np.uint8)
-            sp[:used_chunks] = sel_remap[b][sels[b, :used_chunks]]
-            payload += (sp[0::2] | (sp[1::2] << 4)).tobytes()
+            payload += _pack_fields_np(
+                sel_remap[b][sels[b, :used_chunks]].astype(np.uint32),
+                SEL_BITS,
+            )
         if mode & 1:
             a = anchors_b[b].astype(np.uint32)
             payload += struct.pack("<I", a.shape[0]) + _pack_anchors(a)
