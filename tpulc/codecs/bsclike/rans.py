@@ -237,8 +237,9 @@ def rans_encode_ctx(syms: jax.Array, ctx: jax.Array, m: jax.Array,
     cap = syms.shape[0]
     S = freq.shape[1]
     nlanes = cap // chunk
-    fflat = freq.reshape(-1)
-    cflat = cum.reshape(-1)
+    # one packed table gather per step instead of two: c rides the low
+    # PROB_BITS bits, f (which reaches 2^PROB_BITS, 15 bits) the high.
+    fc = (cum | (freq << PROB_BITS)).reshape(-1)
     s2 = syms.reshape(nlanes, chunk)
     k2 = ctx.reshape(nlanes, chunk)
     valid = (
@@ -254,8 +255,9 @@ def rans_encode_ctx(syms: jax.Array, ctx: jax.Array, m: jax.Array,
         j = chunk - 1 - t  # reverse order
         idx = k2[:, j] * S + s2[:, j]
         v = valid[:, j]
-        f = fflat[idx].astype(jnp.uint32)
-        c = cflat[idx].astype(jnp.uint32)
+        e = fc[idx]
+        f = (e >> PROB_BITS).astype(jnp.uint32)
+        c = (e & (PROB_SCALE - 1)).astype(jnp.uint32)
         # f == PROB_SCALE (a probability-1 symbol: single-symbol
         # context) makes the true renorm threshold 2^32 -- never emit;
         # the u32 shift would wrap it to 0 and emit a word the decoder
@@ -306,8 +308,9 @@ def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
     """
     nlanes = words.shape[0]
     S = freq.shape[1]
-    fflat = freq.reshape(-1)
-    cflat = cum.reshape(-1)
+    # one packed table gather per step instead of two: c rides the low
+    # PROB_BITS bits, f (which reaches 2^PROB_BITS, 15 bits) the high.
+    fc = (cum | (freq << PROB_BITS)).reshape(-1)
     lane_ids = jnp.arange(nlanes, dtype=jnp.int32)
     x0 = states.astype(jnp.uint32)
     rpos0 = jnp.zeros((nlanes,), jnp.int32)
@@ -324,8 +327,9 @@ def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
         slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
         s = lut[k * PROB_SCALE + slot]
         idx = k * S + s
-        f = fflat[idx].astype(jnp.uint32)
-        c = cflat[idx].astype(jnp.uint32)
+        e = fc[idx]
+        f = (e >> PROB_BITS).astype(jnp.uint32)
+        c = (e & (PROB_SCALE - 1)).astype(jnp.uint32)
         x_new = f * (x >> jnp.uint32(PROB_BITS)) + (
             x & jnp.uint32(PROB_SCALE - 1)
         ) - c
@@ -365,8 +369,9 @@ def rans_encode_ctx_batch(syms2: jax.Array, gctx2: jax.Array,
     B, cap = syms2.shape
     S = freq.shape[1]
     nlanes = cap // chunk
-    fflat = freq.reshape(-1)
-    cflat = cum.reshape(-1)
+    # one packed table gather per step instead of two: c rides the low
+    # PROB_BITS bits, f (which reaches 2^PROB_BITS, 15 bits) the high.
+    fc = (cum | (freq << PROB_BITS)).reshape(-1)
     s2 = syms2.reshape(B * nlanes, chunk)
     k2 = gctx2.reshape(B * nlanes, chunk)
     pos = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -382,8 +387,9 @@ def rans_encode_ctx_batch(syms2: jax.Array, gctx2: jax.Array,
         j = chunk - 1 - t
         idx = k2[:, j] * S + s2[:, j]
         v = valid[:, j]
-        f = fflat[idx].astype(jnp.uint32)
-        c = cflat[idx].astype(jnp.uint32)
+        e = fc[idx]
+        f = (e >> PROB_BITS).astype(jnp.uint32)
+        c = (e & (PROB_SCALE - 1)).astype(jnp.uint32)
         # f == PROB_SCALE (a probability-1 symbol: single-symbol
         # context) makes the true renorm threshold 2^32 -- never emit;
         # the u32 shift would wrap it to 0 and emit a word the decoder
@@ -431,8 +437,9 @@ def rans_decode_ctx_batch(words: jax.Array, counts: jax.Array,
     L = words.shape[0]
     nlanes = L // B
     S = freq.shape[1]
-    fflat = freq.reshape(-1)
-    cflat = cum.reshape(-1)
+    # one packed table gather per step instead of two: c rides the low
+    # PROB_BITS bits, f (which reaches 2^PROB_BITS, 15 bits) the high.
+    fc = (cum | (freq << PROB_BITS)).reshape(-1)
     lane_ids = jnp.arange(L, dtype=jnp.int32)
     blk = lane_ids // nlanes
     x0 = states.astype(jnp.uint32)
@@ -450,8 +457,9 @@ def rans_decode_ctx_batch(words: jax.Array, counts: jax.Array,
         slot = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
         s = lut[k * PROB_SCALE + slot]
         idx = k * S + s
-        f = fflat[idx].astype(jnp.uint32)
-        c = cflat[idx].astype(jnp.uint32)
+        e = fc[idx]
+        f = (e >> PROB_BITS).astype(jnp.uint32)
+        c = (e & (PROB_SCALE - 1)).astype(jnp.uint32)
         x_new = f * (x >> jnp.uint32(PROB_BITS)) + (
             x & jnp.uint32(PROB_SCALE - 1)
         ) - c
