@@ -569,50 +569,47 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     R = -(-cap // ANCHOR_STRIDE)
     K = 6  # one compiled refinement; unused tables stay empty
     nchunks = max(1, -(-cap // CHUNK_SYMS))
+    out_words = -(-cap * MAX_LEN // 32)
     # per-block put immediately followed by its dispatch: the tunnel
     # pipelines block b+1's upload under block b's transform
     with timing.stage("bz.forward"):
         per = [_forward_packed_mt(jnp.asarray(blocks[b]), R, K)
                for b in range(B)]
-        syms = [p[0] for p in per]
-        m_dev = [p[1][0] for p in per]       # device scalars for entropy
-        sel_dev = [p[2] for p in per]
-        metas = np.asarray(jnp.stack([p[1] for p in per]))  # ONE pull
-    ms = [int(mt[0]) for mt in metas]
-    idx0s = [int(mt[1]) for mt in metas]
-    ok_b = np.asarray([bool(mt[2]) for mt in metas])
-    clh = np.stack(
-        [mt[3: 3 + K * ALPHABET].reshape(K, ALPHABET) for mt in metas]
-    )
-    anchors_b = np.stack(
-        [mt[3 + K * ALPHABET: 3 + K * ALPHABET + R] for mt in metas]
-    )
-    sels = np.stack(
-        [mt[3 + K * ALPHABET + R:] for mt in metas]
-    ).astype(np.uint8)
-    out_words = -(-cap * MAX_LEN // 32)
-    # Per-block table choice: the host has every cluster histogram, so
-    # it prices single-table vs multi-table EXACTLY (stream bits + the
-    # length-table and selector metadata) and keeps only tables some
-    # selector actually uses.  MT blocks must also carry anchors — the
-    # anchor-less decode fallback only understands single-table
-    # payloads.
-    mt_b, lens_b, codes_b, tbs = [], [], [], []
-    sel_remap = [None] * B
-    for b in range(B):
-        used_chunks = max(1, -(-ms[b] // CHUNK_SYMS))
-        hist_all = clh[b].sum(axis=0)
+
+    def encode_one(b: int) -> bytes:
+        """Pull block b's transform metadata, price + build its Huffman
+        tables on host, dispatch its entropy stage, pull, serialize.
+
+        Runs in a worker thread: block b's meta pull completes the
+        moment ITS forward finishes, so host table building (24 odd
+        package-merges per block) and payload assembly hide under the
+        device forwards of blocks b+1..B.
+        """
+        syms, meta_dev, sel_dev = per[b]
+        mt_row = np.asarray(meta_dev)  # per-block D2H pull
+        m, idx0, ok = int(mt_row[0]), int(mt_row[1]), bool(mt_row[2])
+        clh = mt_row[3: 3 + K * ALPHABET].reshape(K, ALPHABET)
+        anchors = mt_row[3 + K * ALPHABET: 3 + K * ALPHABET + R]
+        sels = mt_row[3 + K * ALPHABET + R:].astype(np.uint8)
+        used_chunks = max(1, -(-m // CHUNK_SYMS))
+        # Table choice: the host has every cluster histogram, so it
+        # prices single-table vs multi-table EXACTLY (stream bits + the
+        # length-table and selector metadata) and keeps only tables
+        # some selector actually uses.  MT blocks must also carry
+        # anchors — the anchor-less decode fallback only understands
+        # single-table payloads.
+        hist_all = clh.sum(axis=0)
         lens_single = package_merge_lengths(hist_all, MAX_LEN)
         tb_single = int((hist_all.astype(np.int64) * lens_single).sum())
-        used_tabs = np.unique(sels[b, :used_chunks])
-        mt = bool(ok_b[b]) and used_tabs.shape[0] >= 2
+        used_tabs = np.unique(sels[:used_chunks])
+        mt = ok and used_tabs.shape[0] >= 2
         if mt:
             lens_mt = np.stack([
-                package_merge_lengths(clh[b, k], MAX_LEN)
+                package_merge_lengths(clh[k], MAX_LEN)
                 for k in used_tabs
             ])
             tb_mt = int(sum(
-                (clh[b, k].astype(np.int64) * lens_mt[j]).sum()
+                (clh[k].astype(np.int64) * lens_mt[j]).sum()
                 for j, k in enumerate(used_tabs)
             ))
             extra = 8 * (
@@ -623,81 +620,67 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         if mt:
             remap = np.zeros(K, np.uint8)
             remap[used_tabs] = np.arange(len(used_tabs), dtype=np.uint8)
-            sel_remap[b] = remap
-            lens_b.append(lens_mt)
-            tbs.append(tb_mt)
+            lens = lens_mt
+            tb_exp = tb_mt
         else:
-            lens_b.append(lens_single[None])
-            tbs.append(tb_single)
-        mt_b.append(mt)
-        codes_b.append(np.stack([canonical_codes(lk) for lk in lens_b[b]]))
-    takes = [_bucket_words(-(-tbs[b] // 32), out_words) for b in range(B)]
-    ent_dev = []
-    for b in range(B):
-        if mt_b[b]:
+            remap = None
+            lens = lens_single[None]
+            tb_exp = tb_single
+        codes = np.stack([canonical_codes(lk) for lk in lens])
+        take = _bucket_words(-(-tb_exp // 32), out_words)
+        if mt:
             # device entropy uses original K-slot table ids (sel_dev is
-            # unremapped); unused slots stay zero and are never selected
-            used_chunks = max(1, -(-ms[b] // CHUNK_SYMS))
-            used_tabs = np.unique(sels[b, :used_chunks])
+            # unremapped); unused slots stay zero, never selected
             lens_full = np.zeros((K, ALPHABET), np.int32)
             codes_full = np.zeros((K, ALPHABET), np.uint32)
-            lens_full[used_tabs] = lens_b[b]
-            codes_full[used_tabs] = codes_b[b]
-            ent_dev.append(_entropy_take_mt(
-                syms[b], m_dev[b], sel_dev[b],
+            lens_full[used_tabs] = lens
+            codes_full[used_tabs] = codes
+            ent_dev = _entropy_take_mt(
+                syms, meta_dev[0], sel_dev,
                 jnp.asarray(codes_full), jnp.asarray(lens_full),
-                out_words, nchunks, takes[b],
-            ))
+                out_words, nchunks, take,
+            )
         else:
-            ent_dev.append(_entropy_take(
-                syms[b], m_dev[b], jnp.asarray(codes_b[b][0]),
-                jnp.asarray(lens_b[b][0]), out_words, nchunks, takes[b],
-            ))
-    # group same-bucket blocks into one stacked pull each
-    ent: list = [None] * B
-    groups: dict[int, list[int]] = {}
-    for b, t in enumerate(takes):
-        groups.setdefault(t, []).append(b)
-    with timing.stage("bz.entropy+pull"):
-        for t, idxs in groups.items():
-            pulled = np.asarray(jnp.stack([ent_dev[b] for b in idxs]))
-            for j, b in enumerate(idxs):
-                ent[b] = pulled[j]
-    payloads = []
-    for b in range(B):
-        m, idx0, tb = ms[b], idx0s[b], int(ent[b][0])
-        assert tb == tbs[b], "device/host bit-count mismatch"
+            ent_dev = _entropy_take(
+                syms, meta_dev[0], jnp.asarray(codes[0]),
+                jnp.asarray(lens[0]), out_words, nchunks, take,
+            )
+        ent = np.asarray(ent_dev)  # per-block D2H pull
+        tb = int(ent[0])
+        assert tb == tb_exp, "device/host bit-count mismatch"
         nw = -(-tb // 32)
         nibbles = b""
-        for lk in lens_b[b]:
+        for lk in lens:
             lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
             lens_pad[:ALPHABET] = lk.astype(np.uint8)
             nibbles += (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
-        used_chunks = max(1, -(-m // CHUNK_SYMS))
-        offs = ent[b][1: 1 + used_chunks].astype(np.int64)
-        anchored = bool(ok_b[b]) and (
-            mt_b[b] or _anchor_bytes(anchors_b.shape[1]) * 20 < nw * 4
-        )
-        mode = (1 if anchored else 0) | (2 if mt_b[b] else 0)
+        offs = ent[1: 1 + used_chunks].astype(np.int64)
+        anchored = ok and (mt or _anchor_bytes(R) * 20 < nw * 4)
+        mode = (1 if anchored else 0) | (2 if mt else 0)
         payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode)
-        if mt_b[b]:
-            payload += bytes([len(lens_b[b])])
+        if mt:
+            payload += bytes([len(lens)])
         payload += nibbles
         payload += struct.pack("<I", used_chunks)
         payload += struct.pack("<I", int(offs[0]))
         payload += _pack_fields_np(np.diff(offs), DELTA_BITS)
-        if mt_b[b]:
+        if mt:
             payload += _pack_fields_np(
-                sel_remap[b][sels[b, :used_chunks]].astype(np.uint32),
-                SEL_BITS,
+                remap[sels[:used_chunks]].astype(np.uint32), SEL_BITS
             )
         if mode & 1:
-            a = anchors_b[b].astype(np.uint32)
+            a = anchors.astype(np.uint32)
             payload += struct.pack("<I", a.shape[0]) + _pack_anchors(a)
-        payload += ent[b][1 + nchunks: 1 + nchunks + nw].astype(
+        payload += ent[1 + nchunks: 1 + nchunks + nw].astype(
             "<u4"
         ).tobytes()
-        payloads.append(payload)
+        return payload
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with timing.stage("bz.entropy+pull"):
+        with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
+            payloads = list(ex.map(encode_one, range(B)))
     return payloads
 
 
