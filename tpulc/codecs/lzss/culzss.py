@@ -30,9 +30,10 @@ PCKT = 4096
 WIN = 128
 MAX_LEN = 127          # length byte; reference clamps to MAX_CODED-1
 MIN_MATCH = 3
-K_CHAIN = 8
-_EXTEND = 18           # chain-search match cap (runs handled analytically)
-_PAD = WIN + PCKT + MAX_LEN + 4
+K_CHAIN = 2  # depth 4 gains only ~0.3% ratio for 2x the match gathers
+_EXT_WORDS = 5         # chain-match cap = 4*_EXT_WORDS bytes (runs are
+                       # handled analytically, so deep extension is waste)
+_PAD = WIN + PCKT + MAX_LEN + 8
 
 
 def _encode_packet(packet: jax.Array):
@@ -58,15 +59,32 @@ def _encode_packet(packet: jax.Array):
         ok = (idx >= d) & (jnp.roll(skey, d) == skey)
         cols.append(jnp.where(ok, jnp.roll(spos, d), -1))
     cand = cand.at[spos].set(jnp.stack(cols, axis=1))
+    # Match extension on packed 4-byte words (MSB-first, so leading
+    # equal BYTES = leading zero bytes of the XOR): one gather per word
+    # step instead of four byte gathers; the `pos + j` side is a static
+    # slice, not a gather.
+    w4 = (
+        (p3 << 24) | (jnp.roll(p3, -1) << 16)
+        | (jnp.roll(p3, -2) << 8) | jnp.roll(p3, -3)
+    ).astype(jnp.uint32)
     for kk in range(K_CHAIN):
         src = cand[pos, kk]
         valid = src >= 0
         srcc = jnp.maximum(src, 0)
         still = valid
         ln = jnp.zeros((PCKT,), jnp.int32)
-        for j in range(_EXTEND):
-            still = still & (padded[srcc + j] == padded[pos + j])
-            ln = ln + still.astype(jnp.int32)
+        for j in range(0, 4 * _EXT_WORDS, 4):
+            ws = w4[srcc + j]
+            wp = jax.lax.dynamic_slice(w4, (WIN + j,), (PCKT,))
+            t = ws ^ wp
+            leadeq = jnp.where(
+                t == 0, 4,
+                (t < (1 << 24)).astype(jnp.int32)
+                + (t < (1 << 16)).astype(jnp.int32)
+                + (t < (1 << 8)).astype(jnp.int32),
+            )
+            ln = ln + jnp.where(still, leadeq, 0)
+            still = still & (t == 0)
         in_win = (src >= pos - WIN) & valid
         ln = jnp.where(in_win, jnp.minimum(ln, pos - src), 0)
         take = ln > best_len
