@@ -76,3 +76,15 @@ def test_native_decoder_roundtrip():
     assert ours == bz2.compress(data, 9)
     assert bzip2_codec.decompress(ours) == data
     assert bzip2_codec.decompress(bz2.compress(data, 1)) == data
+
+
+def test_highly_compressible_decompress_sizing():
+    """5 MB of one byte round-trips: output sizing must come from the
+    stream header, not a multiple of the (tiny) compressed size
+    (round-1 VERDICT weak #1)."""
+    from tpulc.codecs.bwt import bzip2_codec
+
+    data = b"z" * (5 * 1024 * 1024)
+    comp = bz2.compress(data, 9)
+    assert len(comp) < 256  # the pathological case: ~49 bytes
+    assert bzip2_codec.decompress(comp) == data

@@ -23,8 +23,29 @@ def compress(data: bytes | np.ndarray, block_size: int = 900_000,
 
 
 def decompress(buf: bytes, out_cap: int | None = None) -> bytes:
+    """Decode a .bz2 stream, sizing the output from the stream itself.
+
+    The reference decoder sizes buffers from the stream header
+    (`cuda-bzip2-ipdpsw/decompress.c`: `BZh<level>` bounds each block
+    at level*100k pre-RLE1 bytes).  RLE1 expansion is unbounded-ratio
+    (5 coded bytes -> up to 259 output), so a fixed multiple of the
+    compressed size cannot bound the output: start from the header
+    bound and grow-and-retry on the decoder's distinct
+    buffer-too-small signal.
+    """
     from tpulc.gold.lzss_gold import bz2_decompress
 
-    if out_cap is None:
-        out_cap = max(64 * len(buf), 1 << 20)  # bzip2 max ratio is huge
-    return bz2_decompress(buf, out_cap)
+    if out_cap is not None:
+        return bz2_decompress(buf, out_cap)
+    if len(buf) < 4 or buf[:3] != b"BZh" or not (0x31 <= buf[3] <= 0x39):
+        raise ValueError("invalid .bz2 stream")
+    level = buf[3] - 0x30
+    # >= 1 block; each block holds <= level*100k post-RLE1 bytes, which
+    # expand < 52x through inverse RLE1 — one block's worth is a good
+    # first guess, doubling covers multi-block streams geometrically.
+    out_cap = max(64 * len(buf), 52 * 100_000 * level)
+    while True:
+        try:
+            return bz2_decompress(buf, out_cap)
+        except BufferError:
+            out_cap *= 2

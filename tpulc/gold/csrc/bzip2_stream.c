@@ -239,12 +239,12 @@ static long unbwt_unrle(const uint8_t *block, long n, int origptr,
         while (i + run < n && run < 4 && scratch[i + run] == c) run++;
         if (run == 4) {
             long extra = (i + 4 < n) ? scratch[i + 4] : 0;
-            if (outpos + 4 + extra > outcap) return -1;
+            if (outpos + 4 + extra > outcap) return -2; /* buffer too small */
             memset(out + outpos, c, (size_t)(4 + extra));
             outpos += 4 + extra;
             i += 5;
         } else {
-            if (outpos + run > outcap) return -1;
+            if (outpos + run > outcap) return -2; /* buffer too small */
             memset(out + outpos, c, (size_t)run);
             outpos += run;
             i += run;
@@ -278,7 +278,7 @@ long bz2_gold_decompress(const uint8_t *in, long n, uint8_t *out,
         long nblock = decode_block_data(&r, block, blockmax, &origptr);
         if (nblock < 0 || origptr >= nblock) return -1;
         outpos = unbwt_unrle(block, nblock, origptr, out, outcap, outpos, tt);
-        if (outpos < 0) return -1;
+        if (outpos < 0) return outpos; /* -2 = output buffer too small */
     }
 }
 

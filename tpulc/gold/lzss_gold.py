@@ -79,6 +79,8 @@ def bz2_decompress(data: bytes | np.ndarray, out_cap: int) -> bytes:
         else np.ascontiguousarray(data, np.uint8)
     out = np.zeros(max(out_cap, 1), np.uint8)
     n = lib.bz2_gold_decompress(_as_buf(arr), len(arr), _as_buf(out), out_cap)
+    if n == -2:
+        raise BufferError("bz2 output buffer too small")
     if n < 0:
         raise ValueError("invalid .bz2 stream")
     return out[:n].tobytes()
