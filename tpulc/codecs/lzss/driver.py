@@ -25,17 +25,26 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bucket_cap(n: int, block_cap: int) -> int:
+    """Power-of-two tail buckets: at most log2(block_cap) compiled
+    encode programs instead of one per stray tail length."""
+    cap = 4096
+    while cap < n:
+        cap *= 2
+    return min(max(cap, 1), block_cap) if n < block_cap else block_cap
+
+
 def compress_block(block: np.ndarray, block_cap: int,
                    k_cand: int = K_CANDIDATES, exact: bool = False) -> bytes:
     n = block.shape[0]
-    cap = block_cap
+    cap = _bucket_cap(n, block_cap)
     padded = np.zeros(cap, np.uint8)
     padded[:n] = block
     # worst case 9 bits/byte
     out_words = _round_up(cap * 9 + 64, 32) // 32
-    src = padded if n == cap else block  # tail encodes at its true size
     words, total_bits = lzss_encode_device(
-        jnp.asarray(src), k_cand, out_words, exact
+        jnp.asarray(padded), k_cand, out_words, exact,
+        n_valid=jnp.int32(n),
     )
     total_bits = int(total_bits)
     nbytes = -(-total_bits // 8)

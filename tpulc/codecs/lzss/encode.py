@@ -174,11 +174,20 @@ def _stitched_best(padded: jax.Array, n: int):
 
 @partial(jax.jit, static_argnames=("k_cand", "out_words", "exact"))
 def lzss_encode_device(data: jax.Array, k_cand: int, out_words: int,
-                       exact: bool = False):
+                       exact: bool = False, n_valid: jax.Array | None = None):
     """Encode uint8[n] -> (words uint32[out_words], total_bits int32).
 
     The emitted bitstream is decodable by the reference lzss-0.6.2
     decoder byte-for-byte (zero-padded final byte, as bitfile does).
+
+    `n_valid` (traced, default n) truncates the stream to the tokens
+    whose start position is < n_valid: the driver pads tail blocks to a
+    power-of-two capacity (ONE compiled program per bucket instead of
+    one per stray tail length) and the decoder then yields >= n_valid
+    bytes whose prefix is exact — the final kept token may overshoot
+    into padding, which the caller trims (tokens never overlap their
+    source, so every copied byte is part of the already-decoded
+    prefix).
     """
     n = data.shape[0]
     pad_tail = MAX_CODED + 2  # so vectorized extension never reads OOB
@@ -236,5 +245,7 @@ def lzss_encode_device(data: jax.Array, k_cand: int, out_words: int,
     )
     lit_code = (1 << 8) | data.astype(jnp.int32)
     code = jnp.where(is_match, match_code, lit_code).astype(jnp.uint32)
+    if n_valid is not None:
+        is_start = is_start & (jnp.arange(n, dtype=jnp.int32) < n_valid)
     nbits = jnp.where(is_start, jnp.where(is_match, 17, 9), 0)
     return pack_bits(code, nbits, out_words)
