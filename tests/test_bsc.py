@@ -58,3 +58,17 @@ def test_bsc_multi_block():
     data = _pg(300000) * 3
     comp = driver.compress(data, block_size=1 << 18)
     assert driver.decompress(comp) == data
+
+
+@pytest.mark.parametrize("sorter", ["st5", "st8"])
+def test_bsc_st_sorter_roundtrip(sorter):
+    """`-m st-k` mode: ST sorter recorded in the payload flags, decode
+    dispatches the inverse-ST walk (libbsc's `-m` switch, bsc.cpp:85)."""
+    data = _pg(120000)
+    comp = driver.compress(data, block_size=1 << 17, sorter=sorter)
+    assert driver.decompress(comp) == data
+    # single-block driver path too
+    blk = np.frombuffer(data[:60000], np.uint8)
+    payload = driver.compress_block(blk, 1 << 16, sorter=sorter)
+    out = driver.decompress_block(payload, 1 << 16)
+    np.testing.assert_array_equal(out, blk)

@@ -43,3 +43,39 @@ def test_st_clusters_like_bwt():
     last, _ = st_encode(jnp.asarray(arr), k=8)
     enc = np.asarray(mtf_encode(jnp.asarray(np.asarray(last))))
     assert (enc < 16).mean() > 0.75
+
+
+@pytest.mark.parametrize("k", [3, 5, 8])
+@pytest.mark.parametrize("name", ["text", "runs", "tiny"])
+def test_st_masked_matches_unmasked(name, k):
+    """Masked ST at capacity > n equals exact-shape ST of the prefix."""
+    from tpulc.codecs.bwt.stk import st_encode_masked
+
+    arr = CASES[name]()
+    n = arr.shape[0]
+    cap = 16384
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = arr
+    last_m, idx0_m = st_encode_masked(jnp.asarray(padded), jnp.int32(n), k=k)
+    want_last, want_idx = st_encode_np(arr, k=k)
+    np.testing.assert_array_equal(np.asarray(last_m)[:n], want_last)
+    assert int(idx0_m) == want_idx
+    back = st_decode(np.asarray(last_m)[:n], int(idx0_m), k=k)
+    np.testing.assert_array_equal(back, arr)
+
+
+@pytest.mark.parametrize("k", [5, 8])
+def test_st_context_keys_masked(k):
+    """Masked context reconstruction equals the exact-shape one."""
+    from tpulc.codecs.bwt.stk import st_context_keys, st_context_keys_masked
+
+    arr = CASES["text"]()
+    n = arr.shape[0]
+    last, _ = st_encode(jnp.asarray(arr), k=k)
+    cap = 16384
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = np.asarray(last)
+    hi_m, lo_m = st_context_keys_masked(jnp.asarray(padded), jnp.int32(n), k=k)
+    hi, lo = st_context_keys(last, k=k)
+    np.testing.assert_array_equal(np.asarray(hi_m)[:n], np.asarray(hi))
+    np.testing.assert_array_equal(np.asarray(lo_m)[:n], np.asarray(lo))

@@ -32,6 +32,9 @@ def _parse(argv):
                    help="lzss: reference-parity longest-match search")
     c.add_argument("--no-lzp", action="store_true",
                    help="bsc: disable the LZP preprocessor")
+    c.add_argument("-m", "--sorter", default="bwt",
+                   choices=["bwt", "st3", "st4", "st5", "st6", "st7", "st8"],
+                   help="bsc: block sorter (BWT or Schindler ST-k)")
     c.add_argument("--level", type=int, default=None,
                    help="bzip2: block level 1-9 (default from block size)")
     c.add_argument("--timings", action="store_true",
@@ -60,6 +63,8 @@ def main(argv=None):
             kwargs["level"] = args.level
         if args.codec == "bsc" and args.no_lzp:
             kwargs["use_lzp"] = False
+        if args.codec == "bsc" and args.sorter != "bwt":
+            kwargs["sorter"] = args.sorter
         out = codec.compress(data, **kwargs)
         dt = time.perf_counter() - t0
         ratio = len(data) / max(len(out), 1)

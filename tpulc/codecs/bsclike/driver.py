@@ -18,9 +18,10 @@ Per-block payload (little-endian):
     m           u32   RLE2 symbol count
     idx0        u32   BWT primary index
     nwords      u32   total rANS u16 words
-    flags       u8    bit0: LZP applied; bit1: stored raw; bit2: order-1
+    flags       u8    bit0: LZP applied; bit1: stored raw; bit2: order-2
                       context model (always set by this encoder);
-                      bit3: decode anchors present
+                      bit3: decode anchors present; bits4-6: sorter
+                      mode (0 = BWT, 3..8 = ST-k)
     [anchors    bit-packed ceil(log2(cap))-wide, ceil(m_lzp/1024) of
                 them   when bit3]
     freqs       NCTX * (33B presence bitmap + u16 per present symbol)
@@ -90,6 +91,32 @@ FLAG_LZP = 1
 FLAG_STORED = 2
 FLAG_CTX = 4
 FLAG_ANCHORS = 8
+# bits 4-6: sorter mode — 0 = BWT, else ST-k stored as k-2 (1..6 for
+# k=3..8, fitting 3 bits).  libbsc's `-m` switch (`bsc.cpp:85`); the
+# mode is recorded per block as `libbsc.cpp:177-194` does, so decode
+# dispatches the right inverse.
+SORTER_SHIFT = 4
+SORTER_MASK = 0x7 << SORTER_SHIFT
+
+
+def _sorter_k(name: str) -> int:
+    """'bwt' -> 0; 'st3'..'st8' -> k."""
+    if name == "bwt":
+        return 0
+    if name.startswith("st"):
+        k = int(name[2:])
+        if 3 <= k <= 8:
+            return k
+    raise ValueError(f"unknown sorter {name!r} (bwt, st3..st8)")
+
+
+def _sorter_flag_bits(k_sort: int) -> int:
+    return ((k_sort - 2) << SORTER_SHIFT) if k_sort else 0
+
+
+def _sorter_k_of_flags(flags: int) -> int:
+    c = (flags & SORTER_MASK) >> SORTER_SHIFT
+    return c + 2 if c else 0
 
 
 def _pack_freq_tables(fq: np.ndarray) -> bytes:
@@ -161,6 +188,50 @@ def _decode_stage(syms, m, n, idx0):
     return inverse_masked(syms, m, n, idx0)
 
 
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _fwd_packed_st(padded, n, k: int):
+    """ST-k twin of `_fwd_packed`: identical meta layout ([m, idx0, ok,
+    anchors(Rcap), hists, fctx]) with ok=0 and zero anchor rows — the
+    host batch code unpacks both sorters the same way.  ONE stable sort
+    against the BWT path's refinement loop (`st2.cu` rationale)."""
+    from tpulc.codecs.bwt.rle import rle2_encode
+    from tpulc.codecs.bwt.stk import st_encode_masked
+    from tpulc.primitives.mtf import mtf_encode
+
+    cap = padded.shape[0]
+    r_cap = -(-cap // ANCHOR_STRIDE)
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    last, idx0 = st_encode_masked(padded, n, k)
+    ranks = mtf_encode(last)
+    ranks = jnp.where(idx < n, ranks, jnp.uint8(255))
+    syms, m_all = rle2_encode(ranks)
+    m = m_all - (cap - n)
+    hists, ctx = _ctx_stats(syms, m)
+    fctx = ctx.reshape(-1, CHUNK)[:, 0]
+    meta = jnp.concatenate([
+        jnp.stack([m, idx0, jnp.int32(0)]),
+        jnp.zeros((r_cap,), jnp.int32),
+        hists.reshape(-1),
+        fctx,
+    ])
+    return syms, ctx, meta
+
+
+@jax.jit
+def _st_last_stage(syms, m):
+    """RLE2 + MTF inverse -> the ST last column (uint8[cap], valid
+    prefix is the block's pre-sort length); the serial inverse-ST walk
+    is host-side native C (`stk.st_decode`)."""
+    from tpulc.codecs.bwt.rle import rle2_decode
+    from tpulc.primitives.mtf import mtf_decode
+
+    ranks, _ = rle2_decode(syms, m)
+    return mtf_decode(ranks)
+
+
 @jax.jit
 def _decode_stage_anchored(syms, m, n, idx0, anchors):
     return inverse_masked_anchored(syms, m, n, idx0, anchors,
@@ -168,10 +239,11 @@ def _decode_stage_anchored(syms, m, n, idx0, anchors):
 
 
 def compress_block(block: np.ndarray, block_cap: int,
-                   use_lzp: bool = True) -> bytes:
+                   use_lzp: bool = True, sorter: str = "bwt") -> bytes:
     n = block.shape[0]
     cap = _cap_for(block_cap)
-    flags = 0
+    k_sort = _sorter_k(sorter)
+    flags = _sorter_flag_bits(k_sort)
     stage = block
     if use_lzp:
         with timing.stage("bsc.lzp"):
@@ -183,11 +255,23 @@ def compress_block(block: np.ndarray, block_cap: int,
     padded = np.zeros(cap, np.uint8)
     padded[:m_lzp] = stage
     with timing.stage("bsc.transform"):
-        syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
-            jnp.asarray(padded), jnp.int32(m_lzp), ANCHOR_STRIDE
-        )
-        del hist  # order-1 context histograms replace the global one
-        hists, ctx = _ctx_stats(syms, m)
+        if k_sort:
+            syms, ctx, meta = _fwd_packed_st(
+                jnp.asarray(padded), jnp.int32(m_lzp), k_sort
+            )
+            r_cap = -(-cap // ANCHOR_STRIDE)
+            m, idx0 = meta[0], meta[1]
+            a_ok = jnp.bool_(False)
+            anchors = meta[3: 3 + r_cap]
+            hists = meta[3 + r_cap: 3 + r_cap + NCTX * ALPHABET].reshape(
+                NCTX, ALPHABET
+            )
+        else:
+            syms, m, idx0, hist, anchors, a_ok = forward_masked_anchored(
+                jnp.asarray(padded), jnp.int32(m_lzp), ANCHOR_STRIDE
+            )
+            del hist  # order-1 context histograms replace the global one
+            hists, ctx = _ctx_stats(syms, m)
         fq = normalize_freqs_ctx(np.asarray(hists))
     freq_d, cum_d, _ = build_tables_ctx(fq)
     with timing.stage("bsc.rans"):
@@ -278,6 +362,15 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         jnp.asarray(fctx_p), jnp.int32(m), jnp.asarray(freq_d),
         jnp.asarray(cum_d), jnp.asarray(lut),
     )
+    k_sort = _sorter_k_of_flags(flags)
+    if k_sort:
+        from tpulc.codecs.bwt.stk import st_decode
+
+        last = np.asarray(_st_last_stage(syms, jnp.int32(m)))[:m_lzp]
+        stage = st_decode(last, idx0, k_sort)
+        if flags & FLAG_LZP:
+            return np.frombuffer(lzp_decode(stage, n), np.uint8)
+        return stage[:n]
     if anchors is not None:
         r_cap = -(-cap0 // ANCHOR_STRIDE)
         anch_p = np.full(r_cap, idx0, np.int32)
@@ -344,34 +437,54 @@ def _bucket(x: int, lo: int = 4096) -> int:
 
 
 def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
-             use_lzp: bool = True) -> bytes:
+             use_lzp: bool = True, sorter: str = "bwt") -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n_total = arr.shape[0]
     cap = _cap_for(block_size)
+    k_sort = _sorter_k(sorter)
     lcap = max(1, cap // CHUNK)
     r_cap = -(-cap // ANCHOR_STRIDE)
     aw = max(1, int(cap - 1).bit_length())
     starts = list(range(0, max(n_total, 1), block_size))
     B = len(starts)
 
-    # host LZP + transform dispatch (uploads pipeline under compute)
-    stages, flags_l, devs = [], [], []
-    for s in starts:
+    # LZP of block b+1 runs in worker threads (ctypes drops the GIL)
+    # UNDER the device transform of block b — the TPU shape of the
+    # reference's OpenMP-parallel LZP (`lzp.cpp:244,323`); dispatches
+    # stay in block order so uploads pipeline under compute.
+    def _lzp_one(s):
         block = arr[s: s + block_size]
+        return block, (lzp_encode(block) if use_lzp else None)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    stages, flags_l, devs = [], [], []
+    lzp_pool = ThreadPoolExecutor(max_workers=2)
+    lzp_results = iter(lzp_pool.map(_lzp_one, starts))
+    for _ in starts:
+        # the timed stage is the residual WAIT: LZP of later blocks
+        # hides under already-dispatched device transforms
+        with timing.stage("bsc.lzp"):
+            block, lz = next(lzp_results)
         flags = 0
         stage = block
-        if use_lzp:
-            with timing.stage("bsc.lzp"):
-                lz = lzp_encode(block)
-            if lz is not None:
-                stage = np.frombuffer(lz, np.uint8)
-                flags |= FLAG_LZP
+        if lz is not None:
+            stage = np.frombuffer(lz, np.uint8)
+            flags |= FLAG_LZP
         stages.append((block, stage))
         flags_l.append(flags)
         padded = np.zeros(cap, np.uint8)
         padded[: stage.shape[0]] = stage
-        devs.append(_fwd_packed(jnp.asarray(padded), jnp.int32(stage.shape[0])))
+        if k_sort:
+            devs.append(_fwd_packed_st(
+                jnp.asarray(padded), jnp.int32(stage.shape[0]), k_sort
+            ))
+        else:
+            devs.append(_fwd_packed(
+                jnp.asarray(padded), jnp.int32(stage.shape[0])
+            ))
+    lzp_pool.shutdown()
 
     with timing.stage("bsc.transform"):
         metas = np.asarray(jnp.stack([d[2] for d in devs]))  # ONE pull
@@ -419,7 +532,7 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
         cnts = counts_np[lane0: lane0 + used_lanes]
         nwords = int(cnts.sum())
         r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
-        flags = flags_l[b] | FLAG_CTX
+        flags = flags_l[b] | FLAG_CTX | _sorter_flag_bits(k_sort)
         body_size = _HEAD.size + 33 * NCTX + 2 * int(
             (fqs[b] > 0).sum()
         ) + 4 + 6 * used_lanes + -(-used_lanes * FCTX_BITS // 8) \
@@ -545,17 +658,20 @@ def decompress(buf: bytes) -> bytes:
             _, n, m_lzp, m, idx0, flags, anchors, fq, fctx, counts, \
                 states, flat = parsed[i]
             syms = syms2[j]
-            if anchors is not None:
+            k_sort = _sorter_k_of_flags(flags)
+            if k_sort:
+                stages_dev.append(_st_last_stage(syms, jnp.int32(m)))
+            elif anchors is not None:
                 anch_p = np.full(r_cap, idx0, np.int32)
                 anch_p[: anchors.shape[0]] = anchors
-                st = _decode_stage_anchored(
+                stages_dev.append(_decode_stage_anchored(
                     syms, jnp.int32(m), jnp.int32(m_lzp),
                     jnp.int32(idx0), jnp.asarray(anch_p),
-                )
+                ))
             else:
-                st = _decode_stage(syms, jnp.int32(m), jnp.int32(m_lzp),
-                                   jnp.int32(idx0))
-            stages_dev.append(st)
+                stages_dev.append(_decode_stage(
+                    syms, jnp.int32(m), jnp.int32(m_lzp), jnp.int32(idx0)
+                ))
         from concurrent.futures import ThreadPoolExecutor
 
         with timing.stage("bsc.inverse+pull"):
@@ -563,7 +679,13 @@ def decompress(buf: bytes) -> bytes:
                 pulled = list(ex.map(np.asarray, stages_dev))
         for j, i in enumerate(blocks_idx):
             _, n, m_lzp, m, idx0, flags, *_ = parsed[i]
-            stage = pulled[j][:m_lzp]
+            k_sort = _sorter_k_of_flags(flags)
+            if k_sort:
+                from tpulc.codecs.bwt.stk import st_decode
+
+                stage = st_decode(pulled[j][:m_lzp], idx0, k_sort)
+            else:
+                stage = pulled[j][:m_lzp]
             if flags & FLAG_LZP:
                 outs[i] = np.frombuffer(lzp_decode(stage, n), np.uint8)
             else:

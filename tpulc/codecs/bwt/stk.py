@@ -86,6 +86,81 @@ def st_context_keys(last: jax.Array, k: int = 8):
     return hi, lo
 
 
+@partial(jax.jit, static_argnames=("k",))
+def st_encode_masked(data: jax.Array, n: jax.Array, k: int = 8):
+    """ST-k of the first n bytes of uint8[cap] -> (last uint8[cap]
+    valid prefix n, idx0 int32).
+
+    Fixed compiled shape at traced valid length (same scheme as
+    `masked.bwt_encode_masked`): cyclic k-byte keys come from wrap
+    slices of a doubled buffer, padding rows sort after every real row
+    and never move.  ONE stable sort total — the reason ST-k is the
+    TPU-friendly sorter for 25 MB bsc blocks (`st2.cu:292-432` is the
+    same shape: presort key pack, one radix sort, postsort).
+    """
+    from tpulc.codecs.bwt.masked import _doubled, _wrap_slice
+
+    cap = data.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    real = idx < n
+    nn = jnp.maximum(n, 1)
+    d2 = _doubled(data.astype(jnp.uint32), nn, 0)
+    bs = [data.astype(jnp.uint32)] + [
+        _wrap_slice(d2, jnp.int32(t) % nn, cap) for t in range(1, k)
+    ]
+    hi = jnp.zeros((cap,), jnp.uint32)
+    lo = jnp.zeros((cap,), jnp.uint32)
+    for t in range(min(k, 4)):
+        hi = (hi << 8) | bs[t]
+    for t in range(4, k):
+        lo = (lo << 8) | bs[t]
+    if k < 4:
+        hi = hi << (8 * (4 - k))
+    if 4 < k < 8:
+        lo = lo << (8 * (8 - k))  # keys are left-aligned in 64 bits
+    prim = jnp.where(real, 0, 1)
+    hi = jnp.where(real, hi, idx.astype(jnp.uint32))
+    lo = jnp.where(real, lo, 0)
+    d2u8 = _doubled(data, nn, jnp.uint8(0))
+    prev = _wrap_slice(d2u8, (nn - 1) % nn, cap)  # prev[i]=data[(i-1)%n]
+    _, _, _, order, last = jax.lax.sort(
+        (prim, hi, lo, idx, prev), num_keys=4, is_stable=True
+    )
+    last = jnp.where(real, last, 0).astype(jnp.uint8)
+    idx0 = jnp.argmax((order == 0) & real).astype(jnp.int32)
+    return last, idx0
+
+
+@partial(jax.jit, static_argnames=("k",))
+def st_context_keys_masked(last: jax.Array, n: jax.Array, k: int = 8):
+    """`st_context_keys` over the valid prefix n of uint8[cap].
+
+    Pad rows sort after every real symbol and self-compose harmlessly;
+    only rows < n of the returned keys are meaningful.
+    """
+    cap = last.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    real = idx < n
+    sym = jnp.where(real, last.astype(jnp.int32), 256 + idx)
+    s_sorted, P = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
+    chars = [jnp.minimum(s_sorted, 255).astype(jnp.uint32)]
+    cur = chars[0]
+    for _ in range(k - 1):
+        cur = cur[P]
+        chars.append(cur)
+    hi = jnp.zeros((cap,), jnp.uint32)
+    lo = jnp.zeros((cap,), jnp.uint32)
+    for t in range(min(k, 4)):
+        hi = (hi << 8) | chars[t]
+    for t in range(4, k):
+        lo = (lo << 8) | chars[t]
+    if k < 4:
+        hi = hi << (8 * (4 - k))
+    if 4 < k < 8:
+        lo = lo << (8 * (8 - k))
+    return hi, lo
+
+
 def st_decode(last: np.ndarray, idx0: int, k: int = 8) -> np.ndarray:
     """Inverse ST-k: device context reconstruction + native C walk."""
     from tpulc.gold.lzss_gold import _load, _as_buf
