@@ -29,18 +29,20 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from tpulc.dist.mesh import make_mesh
-    from tpulc.dist.sharded import sharded_bz_forward
+    from tpulc.dist.sharded import sharded_bz_forward, sharded_bz_roundtrip
 
     n_dev = len(jax.devices())
     block_size = 1 << 16
     n_blocks = 2 * n_dev  # fixed problem per device count sweep below
 
     results = {}
+    results_rt = {}
     for k in sorted({1, 2, n_dev} | {n_dev}):
         if k > n_dev:
             continue
         mesh = make_mesh(k)
         step, make_args = sharded_bz_forward(mesh, block_size)
+        step_rt, make_args_rt = sharded_bz_roundtrip(mesh, block_size)
         # strong scaling: same total work for every k
         total_blocks = n_dev * 2
         if total_blocks % k:
@@ -53,15 +55,31 @@ def main():
             out = step(*args)
         jax.block_until_ready(out)
         results[k] = (time.perf_counter() - t0) / 3
+        args_rt = make_args_rt(total_blocks, rng_seed=1)
+        back, sizes = step_rt(*args_rt)
+        jax.block_until_ready(back)
+        assert np.array_equal(np.asarray(back), np.asarray(args_rt[0])), \
+            "sharded roundtrip mismatch"
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = step_rt(*args_rt)
+        jax.block_until_ready(out)
+        results_rt[k] = (time.perf_counter() - t0) / 3
 
     base = results[1] if 1 in results else next(iter(results.values()))
     eff = {
         k: round(base / (t * k), 3) for k, t in results.items()
     }
+    base_rt = results_rt[1] if 1 in results_rt else next(iter(results_rt.values()))
     out = {
         "metric": "bz_sharded_scaling",
         "devices": {str(k): round(t, 4) for k, t in results.items()},
         "efficiency_vs_1dev": eff,
+        "roundtrip_devices": {str(k): round(t, 4)
+                              for k, t in results_rt.items()},
+        "roundtrip_efficiency_vs_1dev": {
+            k: round(base_rt / (t * k), 3) for k, t in results_rt.items()
+        },
         "backend": jax.default_backend(),
     }
     if jax.default_backend() == "cpu":

@@ -56,3 +56,14 @@ def test_bz_vs_real_bzip2_ratio():
     theirs = bz2.compress(text, 9)
     # within 2x of libbzip2 (no multi-table Huffman yet)
     assert len(ours) < 2 * len(theirs), (len(ours), len(theirs))
+
+
+def test_bz_mixed_anchor_group():
+    """Text blocks (multi-table, anchored) + a zero-padded tail whose
+    refinement exhausts (anchor-less, single-table) in one batch group
+    must decode: the fallback partitions the group instead of assuming
+    all-single-table (regression: fused-compress verify drive)."""
+    with open("tests/data/pg1661.txt", "rb") as f:
+        data = f.read(150000)
+    comp = driver.compress(data, block_size=1 << 16)
+    assert driver.decompress(comp) == data

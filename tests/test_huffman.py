@@ -143,3 +143,34 @@ def test_driver_roundtrip_text_like():
     comp = driver.compress(text, block_size=1 << 16)
     assert driver.decompress(comp) == text
     assert len(comp) < len(text) * 0.7
+
+
+def test_package_merge_device_matches_host():
+    """Device PM (the bz fused-compress table build) is bit-identical
+    to the host package-merge across distribution shapes."""
+    import jax.numpy as jnp
+
+    from tpulc.codecs.huffman.device_tables import (
+        package_merge_lengths_device,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [rng.integers(0, 1000, 257)]
+    z = (rng.zipf(1.3, 257) * (rng.random(257) < 0.7)).astype(np.int64)
+    while z.sum() > (1 << 25):
+        z = z // 2
+    cases.append(z)
+    one = np.zeros(257, np.int64)
+    one[100] = 5
+    cases.append(one)
+    skew = np.zeros(257, np.int64)
+    skew[:3] = [1, 1, (1 << 25) - 2]
+    cases.append(skew)
+    cases.append(np.zeros(257, np.int64))
+    for f in cases:
+        for L in (11, 15):
+            want = package_merge_lengths(f, L)
+            got = np.asarray(
+                package_merge_lengths_device(jnp.asarray(f.astype(np.int32)), L)
+            )
+            np.testing.assert_array_equal(want, got)

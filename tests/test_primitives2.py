@@ -115,14 +115,25 @@ def test_filters_roundtrip():
     )
 
 
-def test_segment_detector():
-    from tpulc.codecs.bsclike.filters import detect_segments
+def test_record_size_detector():
+    from tpulc.codecs.bsclike.filters import detect_record_size
 
     rng = np.random.default_rng(13)
-    a = rng.integers(0, 4, size=1 << 17).astype(np.uint8)
-    b = rng.integers(200, 256, size=1 << 17).astype(np.uint8)
-    bounds = detect_segments(np.concatenate([a, b]))
-    assert any(abs(x - (1 << 17)) <= (1 << 16) for x in bounds)
+    # fixed-width 8-byte records: constant-ish fields -> strong lag-8
+    recs = np.zeros((20000, 8), np.uint8)
+    recs[:, 0] = 7
+    recs[:, 1] = rng.integers(0, 3, 20000)
+    recs[:, 2:4] = 255
+    recs[:, 4:] = rng.integers(0, 256, (20000, 4))
+    assert detect_record_size(recs.reshape(-1)) == 8
+    # plain text: no stride structure
+    with open("tests/data/pg1661.txt", "rb") as f:
+        txt = np.frombuffer(f.read(300000), np.uint8)
+    assert detect_record_size(txt) == 0
+    # random: no structure
+    assert detect_record_size(
+        rng.integers(0, 256, 1 << 17).astype(np.uint8)
+    ) == 0
 
 
 def test_dc3_matches_naive_and_device():

@@ -35,6 +35,9 @@ def _parse(argv):
     c.add_argument("-m", "--sorter", default="bwt",
                    choices=["bwt", "st3", "st4", "st5", "st6", "st7", "st8"],
                    help="bsc: block sorter (BWT or Schindler ST-k)")
+    c.add_argument("--filter", default="none", dest="filter_mode",
+                   help="bsc: preprocessing filter "
+                        "(none|reverse|reorder:N|auto)")
     c.add_argument("--level", type=int, default=None,
                    help="bzip2: block level 1-9 (default from block size)")
     c.add_argument("--timings", action="store_true",
@@ -65,6 +68,8 @@ def main(argv=None):
             kwargs["use_lzp"] = False
         if args.codec == "bsc" and args.sorter != "bwt":
             kwargs["sorter"] = args.sorter
+        if args.codec == "bsc" and args.filter_mode != "none":
+            kwargs["filter_mode"] = args.filter_mode
         out = codec.compress(data, **kwargs)
         dt = time.perf_counter() - t0
         ratio = len(data) / max(len(out), 1)

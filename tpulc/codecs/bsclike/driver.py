@@ -60,6 +60,12 @@ from tpulc.codecs.bwt.masked import (
     inverse_masked_anchored,
 )
 from tpulc.codecs.bwt.rle import ALPHABET
+from tpulc.codecs.bsclike.filters import (
+    FILTER_NONE,
+    apply_filter_np,
+    detect_record_size,
+    invert_filter_np,
+)
 from tpulc.gold.lzp import lzp_decode, lzp_encode
 from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_BSC
@@ -97,6 +103,26 @@ FLAG_ANCHORS = 8
 # dispatches the right inverse.
 SORTER_SHIFT = 4
 SORTER_MASK = 0x7 << SORTER_SHIFT
+# bit 7: a filter byte follows the header (libbsc's preprocessing
+# switch, `bsc.cpp` -p / `filters/preprocessing.cpp`); byte semantics
+# in `filters.py` (0 none, 1 reverse, else reorder record size)
+FLAG_FILTER = 0x80
+
+
+def _filter_byte_for(block: np.ndarray, filter_mode: str) -> int:
+    if filter_mode == "none":
+        return FILTER_NONE
+    if filter_mode == "reverse":
+        return 1
+    if filter_mode.startswith("reorder:"):
+        rs = int(filter_mode.split(":", 1)[1])
+        if not 2 <= rs <= 255:
+            raise ValueError("reorder record size must be in 2..255")
+        return rs
+    if filter_mode == "auto":
+        return detect_record_size(block)
+    raise ValueError(f"unknown filter {filter_mode!r} "
+                     "(none, reverse, reorder:N, auto)")
 
 
 def _sorter_k(name: str) -> int:
@@ -239,11 +265,17 @@ def _decode_stage_anchored(syms, m, n, idx0, anchors):
 
 
 def compress_block(block: np.ndarray, block_cap: int,
-                   use_lzp: bool = True, sorter: str = "bwt") -> bytes:
+                   use_lzp: bool = True, sorter: str = "bwt",
+                   filter_mode: str = "none") -> bytes:
     n = block.shape[0]
     cap = _cap_for(block_cap)
     k_sort = _sorter_k(sorter)
     flags = _sorter_flag_bits(k_sort)
+    orig_block = block
+    fb = _filter_byte_for(block, filter_mode)
+    if fb != FILTER_NONE:
+        block = apply_filter_np(block, fb)
+        flags |= FLAG_FILTER
     stage = block
     if use_lzp:
         with timing.stage("bsc.lzp"):
@@ -290,7 +322,7 @@ def compress_block(block: np.ndarray, block_cap: int,
         + -(-used_lanes * FCTX_BITS // 8) + 2 * nwords \
         + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
     if body_size >= n:
-        return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
+        return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + orig_block.tobytes()
     # compact per-lane words into one stream
     flat = np.zeros(nwords, "<u2")
     offs = np.concatenate([[0], np.cumsum(counts_np)]).astype(np.int64)
@@ -305,6 +337,8 @@ def compress_block(block: np.ndarray, block_cap: int,
         flags |= FLAG_ANCHORS
         anchors_np = np.asarray(anchors[:r_used]).astype(np.uint32)
     payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags)
+    if flags & FLAG_FILTER:
+        payload += bytes([fb])
     if anchors_np is not None:
         payload += _pack_bits_np(anchors_np, aw)
     payload += _pack_freq_tables(fq)
@@ -322,6 +356,10 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     if flags & FLAG_STORED:
         return np.frombuffer(payload[off: off + n], np.uint8)
     assert flags & FLAG_CTX, "pre-context bsc streams are not supported"
+    filt = FILTER_NONE
+    if flags & FLAG_FILTER:
+        filt = payload[off]
+        off += 1
     cap0 = _cap_for(block_cap)
     anchors = None
     if flags & FLAG_ANCHORS:
@@ -369,8 +407,10 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         last = np.asarray(_st_last_stage(syms, jnp.int32(m)))[:m_lzp]
         stage = st_decode(last, idx0, k_sort)
         if flags & FLAG_LZP:
-            return np.frombuffer(lzp_decode(stage, n), np.uint8)
-        return stage[:n]
+            out = np.frombuffer(lzp_decode(stage, n), np.uint8)
+        else:
+            out = stage[:n]
+        return invert_filter_np(out, filt)
     if anchors is not None:
         r_cap = -(-cap0 // ANCHOR_STRIDE)
         anch_p = np.full(r_cap, idx0, np.int32)
@@ -384,8 +424,10 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
                               jnp.int32(idx0))
     stage = np.asarray(stage[:m_lzp])
     if flags & FLAG_LZP:
-        return np.frombuffer(lzp_decode(stage, n), np.uint8)
-    return stage[:n]
+        out = np.frombuffer(lzp_decode(stage, n), np.uint8)
+    else:
+        out = stage[:n]
+    return invert_filter_np(out, filt)
 
 
 @jax.jit
@@ -437,7 +479,8 @@ def _bucket(x: int, lo: int = 4096) -> int:
 
 
 def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
-             use_lzp: bool = True, sorter: str = "bwt") -> bytes:
+             use_lzp: bool = True, sorter: str = "bwt",
+             filter_mode: str = "none") -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n_total = arr.shape[0]
@@ -454,25 +497,28 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
     # reference's OpenMP-parallel LZP (`lzp.cpp:244,323`); dispatches
     # stay in block order so uploads pipeline under compute.
     def _lzp_one(s):
-        block = arr[s: s + block_size]
-        return block, (lzp_encode(block) if use_lzp else None)
+        orig = arr[s: s + block_size]
+        fbb = _filter_byte_for(orig, filter_mode)
+        blk = apply_filter_np(orig, fbb) if fbb != FILTER_NONE else orig
+        return orig, blk, fbb, (lzp_encode(blk) if use_lzp else None)
 
     from concurrent.futures import ThreadPoolExecutor
 
-    stages, flags_l, devs = [], [], []
+    stages, flags_l, fbs, devs = [], [], [], []
     lzp_pool = ThreadPoolExecutor(max_workers=2)
     lzp_results = iter(lzp_pool.map(_lzp_one, starts))
     for _ in starts:
         # the timed stage is the residual WAIT: LZP of later blocks
         # hides under already-dispatched device transforms
         with timing.stage("bsc.lzp"):
-            block, lz = next(lzp_results)
-        flags = 0
-        stage = block
+            orig, blk, fbb, lz = next(lzp_results)
+        flags = FLAG_FILTER if fbb != FILTER_NONE else 0
+        fbs.append(fbb)
+        stage = blk
         if lz is not None:
             stage = np.frombuffer(lz, np.uint8)
             flags |= FLAG_LZP
-        stages.append((block, stage))
+        stages.append((orig, stage))
         flags_l.append(flags)
         padded = np.zeros(cap, np.uint8)
         padded[: stage.shape[0]] = stage
@@ -545,6 +591,8 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
         if oks[b]:
             flags |= FLAG_ANCHORS
         payload = _HEAD.pack(n, m_lzp, m, int(idx0s[b]), nwords, flags)
+        if flags & FLAG_FILTER:
+            payload += bytes([fbs[b]])
         if oks[b]:
             payload += _pack_bits_np(
                 anchors_all[b, :r_used].astype(np.uint32), aw
@@ -589,6 +637,10 @@ def decompress(buf: bytes) -> bytes:
             )))
             continue
         assert flags & FLAG_CTX
+        filt = FILTER_NONE
+        if flags & FLAG_FILTER:
+            filt = p[off]
+            off += 1
         anchors = None
         if flags & FLAG_ANCHORS:
             r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
@@ -610,7 +662,7 @@ def decompress(buf: bytes) -> bytes:
         flat = np.frombuffer(p[off: off + 2 * nwords], "<u2")
         parsed.append((
             "block", n, m_lzp, m, idx0, flags, anchors, fq, fctx,
-            counts, states, flat,
+            counts, states, flat, filt,
         ))
 
     blocks_idx = [i for i, pr in enumerate(parsed) if pr[0] == "block"]
@@ -625,7 +677,7 @@ def decompress(buf: bytes) -> bytes:
         ms = np.zeros(B, np.int32)
         for j, i in enumerate(blocks_idx):
             _, n, m_lzp, m, idx0, flags, anchors, fq, fctx, counts, \
-                states, flat = parsed[i]
+                states, flat, filt = parsed[i]
             lane0 = j * lcap
             counts_all[lane0: lane0 + counts.shape[0]] = counts
             states_all[lane0: lane0 + states.shape[0]] = states
@@ -656,7 +708,7 @@ def decompress(buf: bytes) -> bytes:
         stages_dev = []
         for j, i in enumerate(blocks_idx):
             _, n, m_lzp, m, idx0, flags, anchors, fq, fctx, counts, \
-                states, flat = parsed[i]
+                states, flat, filt = parsed[i]
             syms = syms2[j]
             k_sort = _sorter_k_of_flags(flags)
             if k_sort:
@@ -678,7 +730,9 @@ def decompress(buf: bytes) -> bytes:
             with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
                 pulled = list(ex.map(np.asarray, stages_dev))
         for j, i in enumerate(blocks_idx):
-            _, n, m_lzp, m, idx0, flags, *_ = parsed[i]
+            pr = parsed[i]
+            _, n, m_lzp, m, idx0, flags = pr[:6]
+            filt = pr[12]
             k_sort = _sorter_k_of_flags(flags)
             if k_sort:
                 from tpulc.codecs.bwt.stk import st_decode
@@ -687,9 +741,10 @@ def decompress(buf: bytes) -> bytes:
             else:
                 stage = pulled[j][:m_lzp]
             if flags & FLAG_LZP:
-                outs[i] = np.frombuffer(lzp_decode(stage, n), np.uint8)
+                out_b = np.frombuffer(lzp_decode(stage, n), np.uint8)
             else:
-                outs[i] = stage[:n]
+                out_b = stage[:n]
+            outs[i] = invert_filter_np(out_b, filt)
     for i, pr in enumerate(parsed):
         if pr[0] == "stored":
             outs[i] = pr[1]

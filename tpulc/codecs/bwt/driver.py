@@ -3,10 +3,11 @@
 The tpulc equivalent of `cudppCompress`'s device-resident pipeline
 (`compress_app.cu:507-526`: BWT, MTF, Huffman) extended with bzip2's
 zero-run stage (`compress.c:123-240`), in tpulc's own container (the
-bit-exact `.bz2` emitter is a separate codec).  The whole forward
-transform chain runs as one jitted program per block; only the table
-build (256-entry package-merge, microseconds) sits on host between the
-transform and entropy stages.
+bit-exact `.bz2` emitter is a separate codec).  Compress runs as ONE
+fused device program per block — transform, multi-table refinement,
+device package-merge table build and entropy encode — matching the
+reference's single dispatch; the host only pulls the meta row and a
+tight bucket of stream words.
 
 Per-block payload (little-endian):
 
@@ -154,75 +155,16 @@ def _forward(block):
     return syms, m, idx0, hist, anchors, ok
 
 
-@partial(jax.jit, static_argnames=("anchor_count",))
-def _forward_packed(block, anchor_count: int):
-    """_forward with all small outputs packed into ONE int32 array:
-    [m, idx0, ok, hist(257), anchors(R)].  Device->host roundtrips
-    through the remote tunnel cost ~30-50ms each regardless of size,
-    so the driver pulls exactly one buffer per stage."""
-    syms, m, idx0, hist, anchors, ok = _forward(block)
-    meta = jnp.concatenate([
-        jnp.stack([m, idx0, ok.astype(jnp.int32)]),
-        hist,
-        anchors[:anchor_count],
-    ])
-    return syms, meta
 
 
-@partial(jax.jit, static_argnames=("out_words", "nchunks"))
-def _entropy_packed(syms, m, codes, lengths, out_words: int, nchunks: int):
-    """_entropy with [total_bits, chunk_offsets(nchunks), words] packed
-    into one uint32 array (single D2H pull)."""
-    words, total_bits, chunk_offsets = _entropy(
-        syms, m, codes, lengths, out_words, nchunks
-    )
-    return jnp.concatenate([
-        jnp.reshape(total_bits, (1,)).astype(jnp.uint32),
-        chunk_offsets.astype(jnp.uint32),
-        words,
-    ])
 
 
-@partial(jax.jit, static_argnames=("out_words", "nchunks", "take"))
-def _entropy_take(syms, m, codes, lengths, out_words: int, nchunks: int,
-                  take: int):
-    """_entropy_packed truncated to `take` words: the host knows the
-    exact stream size in advance (total_bits = hist . lengths), so only
-    a tight bucket of the padded word buffer crosses the tunnel."""
-    words, total_bits, chunk_offsets = _entropy(
-        syms, m, codes, lengths, out_words, nchunks
-    )
-    return jnp.concatenate([
-        jnp.reshape(total_bits, (1,)).astype(jnp.uint32),
-        chunk_offsets.astype(jnp.uint32),
-        words[:take],
-    ])
 
-
-@partial(jax.jit, static_argnames=("anchor_count", "K"))
-def _forward_packed_mt(block, anchor_count: int, K: int):
-    """_forward + multi-table group refinement.  Meta layout (int32):
-    [m, idx0, ok, cluster_hist(K*ALPHABET), anchors(R), sel(nchunks)]."""
-    from tpulc.codecs.bwt.multitable import refine_tables
-
-    syms, m, idx0, hist, anchors, ok = _forward(block)
-    del hist  # cluster histograms carry the same information split K ways
-    nchunks = block.shape[0] // CHUNK_SYMS
-    sel, clhist = refine_tables(syms, m, CHUNK_SYMS, K)
-    meta = jnp.concatenate([
-        jnp.stack([m, idx0, ok.astype(jnp.int32)]),
-        clhist.reshape(-1),
-        anchors[:anchor_count],
-        sel[:nchunks],
-    ])
-    return syms, meta, sel
-
-
-@partial(jax.jit, static_argnames=("out_words", "nchunks", "take"))
-def _entropy_take_mt(syms, m, sel, codes, lengths, out_words: int,
-                     nchunks: int, take: int):
-    """Multi-table `_entropy_take`: codes/lengths are [K, ALPHABET];
-    chunk c's symbols use table sel[c]."""
+def _entropy_mt_core(syms, m, sel, codes, lengths, out_words: int,
+                     nchunks: int):
+    """Shared multi-table entropy body: codes/lengths [K, ALPHABET],
+    chunk c's symbols use table sel[c].  Returns (words, total_bits,
+    chunk_offsets)."""
     cap = syms.shape[0]
     K = codes.shape[0]
     valid = jnp.arange(cap, dtype=jnp.int32) < m
@@ -250,11 +192,84 @@ def _entropy_take_mt(syms, m, sel, codes, lengths, out_words: int,
     chunk_offsets = off.reshape(-1, CHUNK_SYMS)[:nchunks, 0].astype(jnp.int32)
     chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < m
     chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
-    return jnp.concatenate([
-        jnp.reshape(total_bits, (1,)).astype(jnp.uint32),
-        chunk_offsets.astype(jnp.uint32),
-        words[:take],
+    return words, total_bits, chunk_offsets
+
+
+@partial(jax.jit, static_argnames=("anchor_count", "K", "out_words",
+                                   "nchunks"))
+def _compress_fused(block, anchor_count: int, K: int, out_words: int,
+                    nchunks: int):
+    """The WHOLE bz compress forward as one device program — transform,
+    multi-table refinement, device package-merge, canonical codes and
+    entropy encode (the `compress_app.cu:507-526` single-dispatch shape;
+    round-1 compress bounced histograms to the host for table build,
+    costing a D2H+H2D chain per block).
+
+    Returns (meta int32, words uint32[out_words]); meta layout:
+
+        [0] m  [1] idx0  [2] ok  [3] use_mt  [4] total_bits
+        [5 : 5+K*A]   K tables' code lengths (single-table mode: table
+                      0 = whole-block lengths, others zero)
+        [+R]          decode anchors
+        [+nchunks]    effective per-chunk selectors (zeros when !use_mt)
+        [+nchunks]    chunk bit offsets
+    """
+    from tpulc.codecs.bwt.multitable import refine_tables
+    from tpulc.codecs.huffman.device_tables import (
+        canonical_codes_device,
+        package_merge_lengths_device,
+    )
+
+    syms, m, idx0, hist, anchors, ok = _forward(block)
+    del hist
+    sel, clhist = refine_tables(syms, m, CHUNK_SYMS, K)
+    hist_all = clhist.sum(axis=0)
+    lens_mt = jax.vmap(
+        lambda h: package_merge_lengths_device(h, MAX_LEN)
+    )(clhist)
+    lens_single = package_merge_lengths_device(hist_all, MAX_LEN)
+    tb_mt = jnp.sum(clhist * lens_mt)
+    tb_single = jnp.sum(hist_all * lens_single)
+    used_chunks = jnp.maximum(-(-m // CHUNK_SYMS), 1)
+    chunk_live = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < m
+    tab_used = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(chunk_live, sel[:nchunks], 0)
+    ].max(jnp.where(chunk_live, 1, 0))
+    n_used = tab_used.sum()
+    # exact host pricing: K byte + extra length tables + selectors
+    extra_bits = 8 * (
+        1 + (n_used - 1) * _NIBBLES + (used_chunks * SEL_BITS + 7) // 8
+    )
+    use_mt = ok & (n_used >= 2) & (tb_mt + extra_bits < tb_single)
+    lens_eff = jnp.where(
+        use_mt,
+        lens_mt,
+        jnp.concatenate([lens_single[None], jnp.zeros((K - 1, ALPHABET),
+                                                      jnp.int32)]),
+    )
+    sel_eff = jnp.where(use_mt, sel[:nchunks], 0)
+    codes_eff, _ = jax.vmap(
+        lambda ln: canonical_codes_device(ln, MAX_LEN)
+    )(lens_eff)
+    words, total_bits, chunk_offsets = _entropy_mt_core(
+        syms, m, sel_eff, codes_eff, lens_eff, out_words, nchunks
+    )
+    meta = jnp.concatenate([
+        jnp.stack([m, idx0, ok.astype(jnp.int32),
+                   use_mt.astype(jnp.int32), total_bits]),
+        lens_eff.reshape(-1),
+        anchors[:anchor_count],
+        sel_eff,
+        chunk_offsets,
     ])
+    return meta, words
+
+
+@partial(jax.jit, static_argnames=("take",))
+def _take_words(words, take: int):
+    """Truncate the padded entropy stream to a power-of-two bucket for
+    a tight D2H pull (compiled once per bucket size)."""
+    return words[:take]
 
 
 @partial(jax.jit, static_argnames=("out_words", "nchunks"))
@@ -515,10 +530,6 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
 # scheduler (`compress.c:876-1006`), with XLA batching instead of a
 # work queue.  Tunnel/dispatch overhead amortizes across the batch.
 _forward_batch = jax.jit(jax.vmap(_forward))
-_entropy_batch = jax.jit(
-    jax.vmap(_entropy, in_axes=(0, 0, 0, 0, None, None)),
-    static_argnums=(4, 5),
-)
 _inverse_batch = jax.jit(
     jax.vmap(_inverse, in_axes=(0, 0, 0, 0, 0, 0, 0, None)),
     static_argnums=(7,),
@@ -554,17 +565,12 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     programs (batched multi-operand sorts vectorize worse), and
     per-dispatch overhead is ~1ms — so sequential wins.
 
-    Tunnel discipline (remote device): ONE H2D put of the whole batch,
-    ONE small D2H pull of the stacked transform metadata, and one
-    grouped D2H pull of the entropy streams truncated to power-of-two
-    word buckets (the host computes each block's exact bit count from
-    hist . lengths before the entropy stage runs).
+    Compress is ONE fused device program per block (`_compress_fused`:
+    transform + refinement + device package-merge + entropy, the
+    `compress_app.cu:507-526` single-dispatch shape).  The host only
+    pulls the packed meta row, then a power-of-two bucket of the
+    stream words — no table build on the critical path.
     """
-    from tpulc.codecs.huffman.tables import (
-        canonical_codes,
-        package_merge_lengths,
-    )
-
     B, cap = blocks.shape
     R = -(-cap // ANCHOR_STRIDE)
     K = 6  # one compiled refinement; unused tables stay empty
@@ -573,107 +579,62 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
     # per-block put immediately followed by its dispatch: the tunnel
     # pipelines block b+1's upload under block b's transform
     with timing.stage("bz.forward"):
-        per = [_forward_packed_mt(jnp.asarray(blocks[b]), R, K)
-               for b in range(B)]
+        per = [_compress_fused(jnp.asarray(blocks[b]), R, K, out_words,
+                               nchunks) for b in range(B)]
 
     def encode_one(b: int) -> bytes:
-        """Pull block b's transform metadata, price + build its Huffman
-        tables on host, dispatch its entropy stage, pull, serialize.
-
-        Runs in a worker thread: block b's meta pull completes the
-        moment ITS forward finishes, so host table building (24 odd
-        package-merges per block) and payload assembly hide under the
-        device forwards of blocks b+1..B.
-        """
-        syms, meta_dev, sel_dev = per[b]
+        """Pull block b's meta row, pull a tight bucket of its stream,
+        serialize.  Runs in a worker thread so pulls and payload
+        assembly hide under the device programs of blocks b+1..B."""
+        meta_dev, words_dev = per[b]
         mt_row = np.asarray(meta_dev)  # per-block D2H pull
-        m, idx0, ok = int(mt_row[0]), int(mt_row[1]), bool(mt_row[2])
-        clh = mt_row[3: 3 + K * ALPHABET].reshape(K, ALPHABET)
-        anchors = mt_row[3 + K * ALPHABET: 3 + K * ALPHABET + R]
-        sels = mt_row[3 + K * ALPHABET + R:].astype(np.uint8)
+        m, idx0, ok, use_mt, tb = (
+            int(mt_row[0]), int(mt_row[1]), bool(mt_row[2]),
+            bool(mt_row[3]), int(mt_row[4]),
+        )
+        o = 5
+        lens_eff = mt_row[o: o + K * ALPHABET].reshape(K, ALPHABET)
+        o += K * ALPHABET
+        anchors = mt_row[o: o + R]
+        o += R
+        sels = mt_row[o: o + nchunks].astype(np.uint8)
+        o += nchunks
+        offs_all = mt_row[o: o + nchunks]
         used_chunks = max(1, -(-m // CHUNK_SYMS))
-        # Table choice: the host has every cluster histogram, so it
-        # prices single-table vs multi-table EXACTLY (stream bits + the
-        # length-table and selector metadata) and keeps only tables
-        # some selector actually uses.  MT blocks must also carry
-        # anchors — the anchor-less decode fallback only understands
-        # single-table payloads.
-        hist_all = clh.sum(axis=0)
-        lens_single = package_merge_lengths(hist_all, MAX_LEN)
-        tb_single = int((hist_all.astype(np.int64) * lens_single).sum())
-        used_tabs = np.unique(sels[:used_chunks])
-        mt = ok and used_tabs.shape[0] >= 2
-        if mt:
-            lens_mt = np.stack([
-                package_merge_lengths(clh[k], MAX_LEN)
-                for k in used_tabs
-            ])
-            tb_mt = int(sum(
-                (clh[k].astype(np.int64) * lens_mt[j]).sum()
-                for j, k in enumerate(used_tabs)
-            ))
-            extra = 8 * (
-                1 + (len(used_tabs) - 1) * _NIBBLES
-                + _fields_bytes(used_chunks, SEL_BITS)
-            )  # K byte + extra tables + selectors, in bits
-            mt = tb_mt + extra < tb_single
-        if mt:
+        nw = -(-tb // 32)
+        take = _bucket_words(nw, out_words)
+        ent = np.asarray(_take_words(words_dev, take))  # per-block pull
+        if use_mt:
+            used_tabs = np.unique(sels[:used_chunks])
             remap = np.zeros(K, np.uint8)
             remap[used_tabs] = np.arange(len(used_tabs), dtype=np.uint8)
-            lens = lens_mt
-            tb_exp = tb_mt
+            lens = lens_eff[used_tabs]
         else:
             remap = None
-            lens = lens_single[None]
-            tb_exp = tb_single
-        codes = np.stack([canonical_codes(lk) for lk in lens])
-        take = _bucket_words(-(-tb_exp // 32), out_words)
-        if mt:
-            # device entropy uses original K-slot table ids (sel_dev is
-            # unremapped); unused slots stay zero, never selected
-            lens_full = np.zeros((K, ALPHABET), np.int32)
-            codes_full = np.zeros((K, ALPHABET), np.uint32)
-            lens_full[used_tabs] = lens
-            codes_full[used_tabs] = codes
-            ent_dev = _entropy_take_mt(
-                syms, meta_dev[0], sel_dev,
-                jnp.asarray(codes_full), jnp.asarray(lens_full),
-                out_words, nchunks, take,
-            )
-        else:
-            ent_dev = _entropy_take(
-                syms, meta_dev[0], jnp.asarray(codes[0]),
-                jnp.asarray(lens[0]), out_words, nchunks, take,
-            )
-        ent = np.asarray(ent_dev)  # per-block D2H pull
-        tb = int(ent[0])
-        assert tb == tb_exp, "device/host bit-count mismatch"
-        nw = -(-tb // 32)
+            lens = lens_eff[:1]
         nibbles = b""
         for lk in lens:
             lens_pad = np.zeros(_NIBBLES * 2, np.uint8)
             lens_pad[:ALPHABET] = lk.astype(np.uint8)
             nibbles += (lens_pad[0::2] | (lens_pad[1::2] << 4)).tobytes()
-        offs = ent[1: 1 + used_chunks].astype(np.int64)
-        anchored = ok and (mt or _anchor_bytes(R) * 20 < nw * 4)
-        mode = (1 if anchored else 0) | (2 if mt else 0)
+        offs = offs_all[:used_chunks].astype(np.int64)
+        anchored = ok and (use_mt or _anchor_bytes(R) * 20 < nw * 4)
+        mode = (1 if anchored else 0) | (2 if use_mt else 0)
         payload = _BLOCK_HEAD.pack(ns[b], m, idx0, tb, mode)
-        if mt:
+        if use_mt:
             payload += bytes([len(lens)])
         payload += nibbles
         payload += struct.pack("<I", used_chunks)
         payload += struct.pack("<I", int(offs[0]))
         payload += _pack_fields_np(np.diff(offs), DELTA_BITS)
-        if mt:
+        if use_mt:
             payload += _pack_fields_np(
                 remap[sels[:used_chunks]].astype(np.uint32), SEL_BITS
             )
         if mode & 1:
             a = anchors.astype(np.uint32)
             payload += struct.pack("<I", a.shape[0]) + _pack_anchors(a)
-        payload += ent[1 + nchunks: 1 + nchunks + nw].astype(
-            "<u4"
-        ).tobytes()
+        payload += ent[:nw].astype("<u4").tobytes()
         return payload
 
     from concurrent.futures import ThreadPoolExecutor
@@ -779,11 +740,15 @@ def decompress(buf: bytes) -> bytes:
         if fast is not None:
             parts.extend(fast)
             continue
-        # fallback: per-block host LUTs + metadata-free doubling decode
-        # (anchor-less blocks are always encoded single-table)
+        # mixed group: batch the anchored blocks (which include every
+        # multi-table block), doubling-decode the anchor-less ones
+        # (always single-table by encode invariant)
         for payload in group:
             n, m, idx0, tb, lengths, sel, bit_offsets, anchors, words = \
                 _parse_block(payload)
+            if anchors is not None:
+                parts.extend(_decompress_batch_packed([payload], cap))
+                continue
             assert sel is None, "multi-table blocks always carry anchors"
             words_p = np.zeros(wcap, np.uint32)
             words_p[: words.shape[0]] = words

@@ -107,6 +107,74 @@ def canonical_decode_params(lengths: jax.Array, max_len: int):
     return lim, baseoff, syms_sorted
 
 
+# Pad weight: strictly above any real package weight.  A package holds
+# each symbol at most max_len times, so real weights stay <= L * total
+# <= 15 * 2^25 < 2^30 for blocks up to 32 MB of uint8 counts; the
+# uint32 saturating add below never wraps (2 * 2^30 < 2^32).
+# (A Python int, NOT a jnp scalar: a module-level jax.Array would be a
+# captured device constant that jit lifts to a hidden executable
+# argument, which breaks the C++ fastpath under multi-device CPU.)
+_PM_INF = 1 << 30
+
+
+@partial(jax.jit, static_argnames=("max_len",))
+def package_merge_lengths_device(freqs: jax.Array, max_len: int):
+    """Device package-merge: freqs int32[S] -> optimal length-limited
+    code lengths int32[S].  Bit-identical to `tables.package_merge_lengths`
+    whenever ``sum(freqs) <= 2^25`` (always true for block histograms:
+    the sum IS the block size, and blocks top out at 25 MB).
+
+    Items are (weight, per-symbol count row); packaging is a row-add
+    and list merging a stable sort — the whole build is L rounds of
+    [2S]-sorts plus one [1,2S]x[2S,S] MXU contraction for the final
+    count, which is what lets the bz compress path run as ONE device
+    program per block (the reference's `compress_app.cu:507-526` shape)
+    instead of bouncing histograms to the host for table build.
+
+    Fixed-shape padding: absent symbols and empty list slots carry
+    saturating INF weights, so they stably sort after every real item
+    and their zero count rows never pollute the take window (a real
+    item orphaned by odd-length pairing merges with a pad into an
+    INF-weight package — same effect as the host's drop).
+    """
+    S = freqs.shape[0]
+    f = freqs.astype(jnp.uint32)
+    present = f > 0
+    n = jnp.sum(present.astype(jnp.int32))
+
+    syms = jnp.arange(S, dtype=jnp.int32)
+    coin_w = jnp.where(present, f, _PM_INF)
+    # coins sorted by weight, ties by symbol index (host's stable sort)
+    coin_w_s, coin_sym = jax.lax.sort((coin_w, syms), num_keys=1,
+                                      is_stable=True)
+    coin_c = jax.nn.one_hot(coin_sym, S, dtype=jnp.int32) * \
+        (coin_w_s < _PM_INF).astype(jnp.int32)[:, None]
+
+    prev_w = jnp.full((S,), _PM_INF, jnp.uint32)
+    prev_c = jnp.zeros((S, S), jnp.int32)
+    idx2 = jnp.arange(2 * S, dtype=jnp.int32)
+    all_w, all_c = None, None
+    for _ in range(max_len):
+        cat_w = jnp.concatenate([coin_w_s, prev_w])
+        cat_c = jnp.concatenate([coin_c, prev_c])
+        all_w, order = jax.lax.sort((cat_w, idx2), num_keys=1,
+                                    is_stable=True)
+        all_c = cat_c[order]
+        pw = jnp.minimum(all_w[0::2] + all_w[1::2], _PM_INF)
+        pc = all_c[0::2] + all_c[1::2]
+        prev_w, prev_c = pw, pc
+    take = 2 * n - 2
+    sel = (idx2 < take).astype(jnp.int32)
+    lens = jnp.matmul(
+        sel[None, :].astype(jnp.float32),
+        all_c.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )[0].astype(jnp.int32)
+    # host semantics: a single present symbol gets length 1
+    lens = jnp.where(n == 1, present.astype(jnp.int32), lens)
+    return lens
+
+
 @partial(jax.jit, static_argnames=("max_len",))
 def canonical_codes_device(lengths: jax.Array, max_len: int):
     """lengths int32[S] -> (codes uint32[S], lengths int32[S]).

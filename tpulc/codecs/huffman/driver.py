@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpulc.codecs.huffman.tables import DEFAULT_MAX_LEN, HuffmanTable
-from tpulc.codecs.huffman.decode import huffman_decode, huffman_decode_uniform
+from tpulc.codecs.huffman.decode import (
+    huffman_decode,
+    huffman_decode_uniform,
+    huffman_decode_uniform_packed,
+)
 from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_HUFFMAN
 from tpulc.primitives.bits import pack_bits
@@ -150,6 +154,85 @@ def decompress_block(payload: bytes, max_len: int = DEFAULT_MAX_LEN,
     return np.asarray(out[:n])
 
 
+@partial(jax.jit, static_argnames=("cap", "w_pad", "max_len"))
+def _decode_packed_row(row, cap: int, w_pad: int, max_len: int):
+    """Aligned decode of one block from a single packed uint32 row:
+
+        [0] total_bits  [1] n
+        [2 : 2+64]      256 code lengths as bytes (u32 LE)
+        [+ccap]         chunk bit offsets
+        [+w_pad]        codeword stream words
+
+    The batch ships as ONE uint32 H2D put and the 2^L LUT is rebuilt
+    on device from the lengths (the bz driver's packed-batch pattern;
+    round 1 decoded huffman blocks one-by-one with per-block host LUT
+    builds — the flagship decoder deserves the batched path too)."""
+    from tpulc.codecs.huffman.device_tables import canonical_lut_packed
+
+    ccap = max(1, -(-cap // CHUNK_SYMS))
+    total_bits = row[0].astype(jnp.int32)
+    o = 2
+    lens_u8 = jax.lax.bitcast_convert_type(row[o: o + 64], jnp.uint8)
+    lengths = lens_u8.reshape(256).astype(jnp.int32)
+    o += 64
+    offs = row[o: o + ccap].astype(jnp.int32)
+    o += ccap
+    words = row[o: o + w_pad]
+    lut = canonical_lut_packed(lengths, max_len)
+    return huffman_decode_uniform_packed(
+        words, total_bits, cap, lut, max_len, offs, CHUNK_SYMS,
+    )
+
+
+def _decompress_batch_aligned(group: list[bytes], cap: int,
+                              max_len: int) -> list | None:
+    """All-aligned fast path: one packed upload, per-block programs,
+    threaded pulls.  Returns None when some block lacks the aligned
+    offset table (caller falls back to per-block decode)."""
+    ccap = max(1, -(-cap // CHUNK_SYMS))
+    parsed = []
+    for payload in group:
+        n, total_bits, mode = _BLOCK_HEAD.unpack(payload[: _BLOCK_HEAD.size])
+        if not (mode & FLAG_ALIGNED):
+            return None
+        off = _BLOCK_HEAD.size
+        nib = np.frombuffer(payload[off: off + 128], np.uint8)
+        off += 128
+        (nchunks,) = struct.unpack("<I", payload[off: off + 4])
+        off += 4
+        bit_offsets = np.frombuffer(
+            payload[off: off + 4 * nchunks], "<u4"
+        )
+        off += 4 * nchunks
+        nw = -(-total_bits // 32)
+        words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
+        parsed.append((n, total_bits, nib, bit_offsets, words))
+    B = len(parsed)
+    out_words = -(-cap * max_len // 32)
+    nw_max = max(max((-(-p[1] // 32) for p in parsed)), 1)
+    w_pad = min(max(4096, 1 << (nw_max - 1).bit_length()), out_words)
+    width = 2 + 64 + ccap + w_pad
+    arr = np.zeros((B, width), np.uint32)
+    for j, (n, tb, nib, bit_offsets, words) in enumerate(parsed):
+        arr[j, 0], arr[j, 1] = tb, n
+        lens = np.zeros(256, np.uint8)
+        lens[0::2] = nib & 0xF
+        lens[1::2] = nib >> 4
+        arr[j, 2: 66] = lens.view("<u4")
+        arr[j, 66: 66 + ccap] = tb
+        arr[j, 66: 66 + bit_offsets.shape[0]] = bit_offsets
+        arr[j, 66 + ccap: 66 + ccap + words.shape[0]] = words
+    dev = jnp.asarray(arr)  # ONE upload for the batch
+    rows = [jax.lax.dynamic_index_in_dim(dev, j, 0, keepdims=False)
+            for j in range(B)]
+    outs = [_decode_packed_row(r, cap, w_pad, max_len) for r in rows]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
+        pulled = list(ex.map(np.asarray, outs))
+    return [pulled[j][: parsed[j][0]] for j in range(B)]
+
+
 def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
              max_len: int = DEFAULT_MAX_LEN, aligned: bool = True) -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
@@ -170,12 +253,23 @@ def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
     return c.to_bytes()
 
 
+MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
+
+
 def decompress(buf: bytes, max_len: int = DEFAULT_MAX_LEN) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_HUFFMAN
-    parts = [
-        decompress_block(p, max_len, block_cap=c.block_size) for p in c.payloads
-    ]
+    parts = []
+    for i in range(0, len(c.payloads), MAX_BATCH):
+        group = c.payloads[i: i + MAX_BATCH]
+        fast = _decompress_batch_aligned(group, c.block_size, max_len)
+        if fast is not None:
+            parts.extend(fast)
+        else:
+            parts.extend(
+                decompress_block(p, max_len, block_cap=c.block_size)
+                for p in group
+            )
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")

@@ -182,3 +182,114 @@ def sharded_bz_forward(mesh: Mesh, block_size: int):
         )
 
     return jax.jit(step), make_args
+
+
+def sharded_bz_roundtrip(mesh: Mesh, block_size: int):
+    """Sharded forward AND inverse of the bz transform in one program.
+
+    Decode is the round-1 coverage gap (VERDICT missing #6): each
+    device inverts its own blocks (RLE2 -> MTF -> IBWT) after the
+    forward, and the program returns the reconstructed blocks so the
+    caller can assert sharded-decode == original bytes.  The collective
+    set matches the real pipeline: all_gather of per-block sizes.
+    """
+    from tpulc.codecs.bwt.driver import _cap_for, _forward
+    from tpulc.codecs.bwt.rle import rle2_decode
+    from tpulc.codecs.bwt.rotsort import bwt_decode
+    from tpulc.primitives.mtf import mtf_decode
+
+    cap = _cap_for(block_size)
+
+    def _one(block):
+        syms, m, idx0, hist, anchors, ok = _forward(block)
+        ranks, _ = rle2_decode(syms, m)
+        last = mtf_decode(ranks)
+        back = bwt_decode(last, idx0)
+        return back, m
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(BLOCKS_AXIS, None),
+        out_specs=(P(BLOCKS_AXIS, None), P()),
+    )
+    def step(local_blocks):
+        back, m = jax.vmap(_one)(local_blocks)
+        sizes = jax.lax.all_gather(m, BLOCKS_AXIS, tiled=True)
+        return back, sizes
+
+    def make_args(n_blocks: int, rng_seed: int = 0):
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        blocks = rng.integers(0, 64, size=(n_blocks, cap)).astype(np.uint8)
+        return (
+            jax.device_put(
+                blocks, NamedSharding(mesh, P(BLOCKS_AXIS, None))
+            ),
+        )
+
+    return jax.jit(step), make_args
+
+
+def sharded_bsc_rans_forward(mesh: Mesh, block_size: int):
+    """Sharded bsc-class forward: masked BWT pipeline + order-2 context
+    rANS lanes per block, tables replicated (the broadcast-table role
+    of BASELINE config 5), all_gather of per-block word counts as the
+    container offset collective.
+    """
+    from tpulc.codecs.bsclike.driver import _cap_for as _bsc_cap
+    from tpulc.codecs.bsclike.rans import CHUNK, ctx_of_stream, rans_encode_ctx
+    from tpulc.codecs.bwt.masked import forward_masked
+
+    cap = _bsc_cap(block_size)
+
+    def _one(block, n, freq, cum):
+        syms, m, idx0, hist = forward_masked(block, n)
+        ctx = ctx_of_stream(syms)
+        words, counts, states = rans_encode_ctx(syms, ctx, m, freq, cum,
+                                                chunk=CHUNK)
+        return counts.sum(), m
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS_AXIS, None), P(BLOCKS_AXIS), P(None, None),
+                  P(None, None)),
+        out_specs=(P(), P()),
+    )
+    def step(local_blocks, local_ns, freq, cum):
+        nwords, m = jax.vmap(
+            lambda b, n: _one(b, n, freq, cum)
+        )(local_blocks, local_ns)
+        all_words = jax.lax.all_gather(nwords, BLOCKS_AXIS, tiled=True)
+        all_m = jax.lax.all_gather(m, BLOCKS_AXIS, tiled=True)
+        return all_words, all_m
+
+    def make_args(n_blocks: int, rng_seed: int = 0):
+        import numpy as np
+
+        from tpulc.codecs.bsclike.rans import (
+            NCTX,
+            normalize_freqs_ctx,
+        )
+        from tpulc.codecs.bwt.rle import ALPHABET
+
+        rng = np.random.default_rng(rng_seed)
+        blocks = rng.integers(0, 64, size=(n_blocks, cap)).astype(np.uint8)
+        ns = np.full((n_blocks,), block_size, np.int32)
+        # uniform replicated tables: every symbol present -> decodable
+        fq = normalize_freqs_ctx(np.ones((NCTX, ALPHABET), np.int64))
+        cum = np.concatenate(
+            [np.zeros((NCTX, 1), np.int32),
+             np.cumsum(fq, axis=1)[:, :-1].astype(np.int32)],
+            axis=1,
+        )
+        return (
+            jax.device_put(blocks, NamedSharding(mesh, P(BLOCKS_AXIS, None))),
+            jax.device_put(ns, NamedSharding(mesh, P(BLOCKS_AXIS))),
+            jax.device_put(fq.astype(np.int32), NamedSharding(mesh, P())),
+            jax.device_put(cum, NamedSharding(mesh, P())),
+        )
+
+    return jax.jit(step), make_args
