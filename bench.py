@@ -116,16 +116,19 @@ def main():
     # bsc is the reference's strongest config (BASELINE.md rows 2-4):
     # report it in the default bench so the honest bar is always on
     # record, not only under TPULC_BENCH_FULL.
-    try:
-        rb = bench_roundtrip("bsc", data, block_size=4 << 20)
-        detail["bsc"] = {
-            "MBps": round(rb["roundtrip_mbps"], 3),
-            "ratio": round(rb["ratio"], 3),
-            "vs_libbsc_MBps": round(rb["roundtrip_mbps"] / BASELINE_BSC_MBPS, 3),
-            "vs_libbsc_ratio": round(rb["ratio"] / BASELINE_BSC_RATIO, 3),
-        }
-    except Exception as e:  # pragma: no cover - diagnostics only
-        detail["bsc"] = {"error": str(e)[:80]}
+    for key, kw in (("bsc", {}), ("bsc_e2", {"coder": 2})):
+        try:
+            rb = bench_roundtrip("bsc", data, block_size=4 << 20, **kw)
+            detail[key] = {
+                "MBps": round(rb["roundtrip_mbps"], 3),
+                "ratio": round(rb["ratio"], 3),
+                "vs_libbsc_MBps": round(
+                    rb["roundtrip_mbps"] / BASELINE_BSC_MBPS, 3
+                ),
+                "vs_libbsc_ratio": round(rb["ratio"] / BASELINE_BSC_RATIO, 3),
+            }
+        except Exception as e:  # pragma: no cover - diagnostics only
+            detail[key] = {"error": str(e)[:80]}
     # TPULC_BENCH_FULL=1 adds the rest of the per-codec matrix on both
     # corpora; the headline metric/line stays identical.
     if os.environ.get("TPULC_BENCH_FULL"):
@@ -136,6 +139,7 @@ def main():
             jobs = [("huffman", 1 << 20, {}), ("lzss", 1 << 20, {}),
                     ("culzss", 1 << 20, {}), ("bsc", 4 << 20, {}),
                     ("bsc_st8", 4 << 20, {"sorter": "st8"}),
+                    ("bsc_e2", 4 << 20, {"coder": 2}),
                     ("bz", 900_000, {})]
             for name, bs, kw in jobs:
                 reg = name.split("_")[0]

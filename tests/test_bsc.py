@@ -74,6 +74,44 @@ def test_bsc_st_sorter_roundtrip(sorter):
     np.testing.assert_array_equal(out, blk)
 
 
+def test_bsc_abc_coder_roundtrip():
+    """`-e2` adaptive binary coder (QLFC-adaptivity parity): batch,
+    single-block, multi-block, and tiny/degenerate inputs."""
+    data = _pg(200000)
+    comp = driver.compress(data, block_size=1 << 17, coder=2)
+    assert driver.decompress(comp) == data
+    blk = np.frombuffer(data[:60000], np.uint8)
+    payload = driver.compress_block(blk, 1 << 16, coder=2)
+    np.testing.assert_array_equal(
+        driver.decompress_block(payload, 1 << 16), blk
+    )
+    for small in (b"", b"a", b"ab" * 40):
+        comp = driver.compress(small, block_size=1 << 16, coder=2)
+        assert driver.decompress(comp) == small
+
+
+def test_bsc_abc_coder_random_and_ratio():
+    """Random data survives (stored fallback); on text the adaptive
+    coder must beat the static coder's size."""
+    rng = np.random.default_rng(7)
+    rnd = rng.integers(0, 256, size=120000).astype(np.uint8).tobytes()
+    comp = driver.compress(rnd, block_size=1 << 17, coder=2)
+    assert driver.decompress(comp) == rnd
+    assert len(comp) < len(rnd) * 1.05
+    text = _pg(250000)
+    c1 = driver.compress(text, block_size=1 << 18, use_lzp=False)
+    c2 = driver.compress(text, block_size=1 << 18, use_lzp=False, coder=2)
+    assert driver.decompress(c2) == text
+    assert len(c2) < len(c1), (len(c2), len(c1))
+
+
+def test_bsc_abc_with_st_sorter():
+    """Coder and sorter compose: -m st5 -e2."""
+    data = _pg(90000)
+    comp = driver.compress(data, block_size=1 << 17, sorter="st5", coder=2)
+    assert driver.decompress(comp) == data
+
+
 def _records(nrec=30000, width=8):
     rng = np.random.default_rng(21)
     recs = np.zeros((nrec, width), np.uint8)

@@ -38,6 +38,9 @@ def _parse(argv):
     c.add_argument("--filter", default="none", dest="filter_mode",
                    help="bsc: preprocessing filter "
                         "(none|reverse|reorder:N|auto)")
+    c.add_argument("-e", "--coder", type=int, default=1, choices=[1, 2],
+                   help="bsc: entropy coder — 1 static context rANS "
+                        "(fast), 2 adaptive binary rANS (best ratio)")
     c.add_argument("--level", type=int, default=None,
                    help="bzip2: block level 1-9 (default from block size)")
     c.add_argument("--timings", action="store_true",
@@ -70,6 +73,8 @@ def main(argv=None):
             kwargs["sorter"] = args.sorter
         if args.codec == "bsc" and args.filter_mode != "none":
             kwargs["filter_mode"] = args.filter_mode
+        if args.codec == "bsc" and args.coder != 1:
+            kwargs["coder"] = args.coder
         out = codec.compress(data, **kwargs)
         dt = time.perf_counter() - t0
         ratio = len(data) / max(len(out), 1)

@@ -5,11 +5,13 @@ bsc_compress_inplace`: adler32 -> LZP -> block sorter -> coder), with
 bsc's own division of labor (SURVEY.md §2.6): LZP runs on the host
 (native C, as bsc does even in -G mode), the block sort and modelling
 transforms run on the TPU via the masked dynamic-length pipeline, and
-blocks default to 25 MB (`bsc.cpp:76`).  The entropy stage is the
-chunk-interleaved static rANS coder (the parallel stand-in for bsc's
-QLFC range coder — same sub-block parallelization idea as
-`coder.cpp:52-61`); per-block incompressible fallback stores raw
-(bsc's `bsc_store`).
+blocks default to 25 MB (`bsc.cpp:76`).  Two entropy coders (libbsc's
+`-e` switch): coder 1 is the chunk-interleaved static order-2 rANS
+(`rans.py` — the fast parallel stand-in for bsc's QLFC range coder,
+same sub-block parallelization idea as `coder.cpp:52-61`); coder 2 is
+the adaptive binary rANS (`rans_adaptive.py` — QLFC's per-event
+adaptivity, lane-restarted).  Per-block incompressible fallback stores
+raw (bsc's `bsc_store`).
 
 Per-block payload (little-endian):
 
@@ -19,14 +21,23 @@ Per-block payload (little-endian):
     idx0        u32   BWT primary index
     nwords      u32   total rANS u16 words
     flags       u8    bit0: LZP applied; bit1: stored raw; bit2: order-2
-                      context model (always set by this encoder);
+                      context model (always set by coder 1);
                       bit3: decode anchors present; bits4-6: sorter
-                      mode (0 = BWT, 3..8 = ST-k)
+                      mode (0 = BWT, 3..8 = ST-k); bit7: filter byte
+    coder       u8    1 = static context rANS, 2 = adaptive binary
+    [filter     u8    when flags bit7]
     [anchors    bit-packed ceil(log2(cap))-wide, ceil(m_lzp/1024) of
                 them   when bit3]
+  coder 1:
     freqs       NCTX * (33B presence bitmap + u16 per present symbol)
     nlanes      u32
     first_ctx   5-bit-packed context id entering each lane
+  coder 2:
+    inits       NMODELS * u16  initial model probabilities
+    maxbits     u32   deepest lane bit count (decode loop bound)
+    nlanes      u32
+    lane_cls    5-bit-packed context classes entering each lane
+  both:
     counts      u16 * nlanes   per-lane word counts
     states      u32 * nlanes   final rANS states
     words       u16 * nwords   per-lane streams back to back
@@ -53,6 +64,15 @@ from tpulc.codecs.bsclike.rans import (
     rans_decode_ctx_chained,
     rans_encode_ctx,
     rans_encode_ctx_batch,
+)
+from tpulc.codecs.bsclike.rans_adaptive import (
+    ACHUNK,
+    NMODELS,
+    abc_decode,
+    abc_encode,
+    abc_stats,
+    bucket_bits,
+    quantize_inits,
 )
 from tpulc.codecs.bwt.masked import (
     forward_masked_anchored,
@@ -91,8 +111,13 @@ def _unpack_bits_np(buf: bytes, width: int, R: int) -> np.ndarray:
     ).reshape(R, width).astype(np.uint32)
     w = np.arange(width - 1, -1, -1, dtype=np.uint32)
     return (bits << w).sum(axis=1).astype(np.int32)
-_HEAD = struct.Struct("<IIIIIB")
-FCTX_BITS = 5  # context ids < NCTX = 32
+_HEAD = struct.Struct("<IIIIIBB")  # ..., flags, coder
+FCTX_BITS = 5  # context ids < NCTX = 32; abc lane classes < 32 too
+# coder byte (libbsc's `-e` coder switch, `bsc.cpp`): 1 = static
+# order-2 context rANS (`rans.py`), 2 = adaptive binary rANS
+# (`rans_adaptive.py`, the QLFC-adaptivity equivalent)
+CODER_RANS = 1
+CODER_ABC = 2
 FLAG_LZP = 1
 FLAG_STORED = 2
 FLAG_CTX = 4
@@ -206,7 +231,9 @@ def _ctx_stats(syms, m):
 
 
 def _cap_for(block_size: int) -> int:
-    return -(-block_size // max(64, CHUNK)) * max(64, CHUNK)
+    # tile to both coders' lane sizes (CHUNK=512 divides ACHUNK=1024)
+    q = max(64, CHUNK, ACHUNK)
+    return -(-block_size // q) * q
 
 
 @jax.jit
@@ -264,9 +291,63 @@ def _decode_stage_anchored(syms, m, n, idx0, anchors):
                                    ANCHOR_STRIDE)
 
 
+def _finish_block_abc(syms, m, idx0, anchors, a_ok, orig_block, n,
+                      m_lzp, cap, flags, fb) -> bytes:
+    """Entropy stage + payload assembly for the adaptive binary coder
+    (single-block path).  Mirrors the coder-1 tail of
+    `compress_block`."""
+    with timing.stage("bsc.rans"):
+        ms_d = jnp.reshape(m, (1,)).astype(jnp.int32)
+        ones, tot, lane_bits_d, lane_cls_d = abc_stats(syms[None], ms_d)
+        inits = quantize_inits(np.asarray(ones), np.asarray(tot))
+        lane_bits = np.asarray(lane_bits_d)
+        lane_cls_np = np.asarray(lane_cls_d)
+        m_i, idx0_i = int(m), int(idx0)
+        used = max(1, -(-m_i // ACHUNK))
+        maxbits = int(lane_bits[:used].max()) if m_i else 0
+        W = bucket_bits(max(maxbits, 1))
+        words, counts, states = abc_encode(
+            syms[None], ms_d, jnp.asarray(inits), W
+        )
+        counts_np = np.asarray(counts[:used])
+        states_np = np.asarray(states[:used]).astype("<u4")
+        words_np = np.asarray(words[:used])
+    nwords = int(counts_np.sum())
+    lane_valid = (
+        np.arange(words_np.shape[1])[None, :] < counts_np[:, None]
+    )
+    flat = words_np[lane_valid].astype("<u2")
+    body_size = _HEAD.size + 2 * NMODELS + 8 + 6 * used \
+        + -(-used * FCTX_BITS // 8) + 2 * nwords \
+        + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
+    if body_size >= n:
+        return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, CODER_ABC) \
+            + orig_block.tobytes()
+    r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+    aw = max(1, int(cap - 1).bit_length())
+    anchors_np = None
+    if bool(a_ok):
+        flags |= FLAG_ANCHORS
+        anchors_np = np.asarray(anchors[:r_used]).astype(np.uint32)
+    payload = _HEAD.pack(n, m_lzp, m_i, idx0_i, nwords, flags, CODER_ABC)
+    if flags & FLAG_FILTER:
+        payload += bytes([fb])
+    if anchors_np is not None:
+        payload += _pack_bits_np(anchors_np, aw)
+    payload += inits[0].astype("<u2").tobytes()
+    payload += struct.pack("<II", maxbits, used)
+    payload += _pack_bits_np(lane_cls_np[:used].astype(np.uint32),
+                             FCTX_BITS)
+    payload += counts_np.astype("<u2").tobytes()
+    payload += states_np.tobytes()
+    payload += flat.tobytes()
+    return payload
+
+
 def compress_block(block: np.ndarray, block_cap: int,
                    use_lzp: bool = True, sorter: str = "bwt",
-                   filter_mode: str = "none") -> bytes:
+                   filter_mode: str = "none",
+                   coder: int = CODER_RANS) -> bytes:
     n = block.shape[0]
     cap = _cap_for(block_cap)
     k_sort = _sorter_k(sorter)
@@ -304,6 +385,12 @@ def compress_block(block: np.ndarray, block_cap: int,
             )
             del hist  # order-1 context histograms replace the global one
             hists, ctx = _ctx_stats(syms, m)
+    if coder == CODER_ABC:
+        return _finish_block_abc(
+            syms, m, idx0, anchors, a_ok, orig_block, n, m_lzp, cap,
+            flags, fb
+        )
+    with timing.stage("bsc.transform"):
         fq = normalize_freqs_ctx(np.asarray(hists))
     freq_d, cum_d, _ = build_tables_ctx(fq)
     with timing.stage("bsc.rans"):
@@ -318,17 +405,20 @@ def compress_block(block: np.ndarray, block_cap: int,
     words_np = np.asarray(words[:used_lanes])
     fctx_np = np.asarray(first_ctx[:used_lanes]).astype(np.uint8)
     nwords = int(counts_np.sum())
-    body_size = _HEAD.size + 2 * NCTX * ALPHABET + 4 + 6 * used_lanes \
+    body_size = _HEAD.size + 33 * NCTX + 2 * int(
+        (fq > 0).sum()
+    ) + 4 + 6 * used_lanes \
         + -(-used_lanes * FCTX_BITS // 8) + 2 * nwords \
         + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
     if body_size >= n:
-        return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + orig_block.tobytes()
-    # compact per-lane words into one stream
-    flat = np.zeros(nwords, "<u2")
-    offs = np.concatenate([[0], np.cumsum(counts_np)]).astype(np.int64)
-    for j in range(used_lanes):
-        cnt = int(counts_np[j])
-        flat[offs[j]: offs[j] + cnt] = words_np[j, :cnt]
+        return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED,
+                          CODER_RANS) + orig_block.tobytes()
+    # compact per-lane words into one stream (row-major boolean mask ==
+    # lane-major concatenation; no per-lane Python loop)
+    lane_valid = (
+        np.arange(words_np.shape[1])[None, :] < counts_np[:, None]
+    )
+    flat = words_np[lane_valid].astype("<u2")
     flags |= FLAG_CTX
     r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
     aw = max(1, int(cap - 1).bit_length())
@@ -336,7 +426,7 @@ def compress_block(block: np.ndarray, block_cap: int,
     if bool(a_ok):
         flags |= FLAG_ANCHORS
         anchors_np = np.asarray(anchors[:r_used]).astype(np.uint32)
-    payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags)
+    payload = _HEAD.pack(n, m_lzp, m, idx0, nwords, flags, CODER_RANS)
     if flags & FLAG_FILTER:
         payload += bytes([fb])
     if anchors_np is not None:
@@ -351,11 +441,13 @@ def compress_block(block: np.ndarray, block_cap: int,
 
 
 def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
-    n, m_lzp, m, idx0, nwords, flags = _HEAD.unpack(payload[: _HEAD.size])
+    (n, m_lzp, m, idx0, nwords, flags,
+     coder) = _HEAD.unpack(payload[: _HEAD.size])
     off = _HEAD.size
     if flags & FLAG_STORED:
         return np.frombuffer(payload[off: off + n], np.uint8)
-    assert flags & FLAG_CTX, "pre-context bsc streams are not supported"
+    if coder == CODER_RANS:
+        assert flags & FLAG_CTX, "pre-context bsc streams not supported"
     filt = FILTER_NONE
     if flags & FLAG_FILTER:
         filt = payload[off]
@@ -368,38 +460,72 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         nb = -(-r_used * aw // 8)
         anchors = _unpack_bits_np(payload[off: off + nb], aw, r_used)
         off += nb
-    fq, off = _unpack_freq_tables(payload, off)
-    (nlanes,) = struct.unpack("<I", payload[off: off + 4])
-    off += 4
-    fb = -(-nlanes * FCTX_BITS // 8)
-    fctx = _unpack_bits_np(payload[off: off + fb], FCTX_BITS, nlanes)
-    off += fb
-    counts = np.frombuffer(payload[off: off + 2 * nlanes], "<u2").astype(
-        np.int32
-    )
-    off += 2 * nlanes
-    states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
-    off += 4 * nlanes
-    flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
     cap = _cap_for(block_cap)
-    lcap = max(1, cap // CHUNK)
-    words_p = np.zeros((lcap, CHUNK + 2), np.uint16)
-    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    for j in range(nlanes):
-        cnt = int(counts[j])
-        words_p[j, :cnt] = flat[offs[j]: offs[j] + cnt]
-    states_p = np.full(lcap, 1 << 16, np.uint32)
-    states_p[:nlanes] = states
-    counts_p = np.zeros(lcap, np.int32)
-    counts_p[:nlanes] = counts
-    fctx_p = np.zeros(lcap, np.int32)
-    fctx_p[:nlanes] = fctx
-    freq_d, cum_d, lut = build_tables_ctx(fq)
-    syms = rans_decode_ctx_chained(
-        jnp.asarray(words_p), jnp.asarray(counts_p), jnp.asarray(states_p),
-        jnp.asarray(fctx_p), jnp.int32(m), jnp.asarray(freq_d),
-        jnp.asarray(cum_d), jnp.asarray(lut),
-    )
+    if coder == CODER_ABC:
+        inits = np.frombuffer(
+            payload[off: off + 2 * NMODELS], "<u2"
+        ).reshape(1, NMODELS)
+        off += 2 * NMODELS
+        maxbits, nlanes = struct.unpack("<II", payload[off: off + 8])
+        off += 8
+        fb = -(-nlanes * FCTX_BITS // 8)
+        lane_cls = _unpack_bits_np(payload[off: off + fb], FCTX_BITS,
+                                   nlanes)
+        off += fb
+        counts = np.frombuffer(
+            payload[off: off + 2 * nlanes], "<u2"
+        ).astype(np.int32)
+        off += 2 * nlanes
+        states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
+        off += 4 * nlanes
+        flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
+        lcap_a = max(1, cap // ACHUNK)
+        Wc = bucket_bits(int(counts.max(initial=0)) + 2, lo=64)
+        words_p = np.zeros((lcap_a, Wc), np.uint16)
+        lane_valid = np.arange(Wc)[None, :] < counts[:, None]
+        words_p[:nlanes][lane_valid] = flat
+        states_p = np.full(lcap_a, 1 << 16, np.uint32)
+        states_p[:nlanes] = states
+        counts_p = np.zeros(lcap_a, np.int32)
+        counts_p[:nlanes] = counts
+        cls_p = np.zeros(lcap_a, np.int32)
+        cls_p[:nlanes] = lane_cls
+        syms = abc_decode(
+            jnp.asarray(words_p), jnp.asarray(counts_p),
+            jnp.asarray(states_p), jnp.asarray(cls_p),
+            jnp.asarray(np.array([m], np.int32)), jnp.asarray(inits),
+            jnp.int32(maxbits), B=1,
+        )[0]
+    else:
+        fq, off = _unpack_freq_tables(payload, off)
+        (nlanes,) = struct.unpack("<I", payload[off: off + 4])
+        off += 4
+        fb = -(-nlanes * FCTX_BITS // 8)
+        fctx = _unpack_bits_np(payload[off: off + fb], FCTX_BITS, nlanes)
+        off += fb
+        counts = np.frombuffer(
+            payload[off: off + 2 * nlanes], "<u2"
+        ).astype(np.int32)
+        off += 2 * nlanes
+        states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
+        off += 4 * nlanes
+        flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
+        lcap = max(1, cap // CHUNK)
+        words_p = np.zeros((lcap, CHUNK + 2), np.uint16)
+        lane_valid = np.arange(CHUNK + 2)[None, :] < counts[:, None]
+        words_p[:nlanes][lane_valid] = flat
+        states_p = np.full(lcap, 1 << 16, np.uint32)
+        states_p[:nlanes] = states
+        counts_p = np.zeros(lcap, np.int32)
+        counts_p[:nlanes] = counts
+        fctx_p = np.zeros(lcap, np.int32)
+        fctx_p[:nlanes] = fctx
+        freq_d, cum_d, lut = build_tables_ctx(fq)
+        syms = rans_decode_ctx_chained(
+            jnp.asarray(words_p), jnp.asarray(counts_p),
+            jnp.asarray(states_p), jnp.asarray(fctx_p), jnp.int32(m),
+            jnp.asarray(freq_d), jnp.asarray(cum_d), jnp.asarray(lut),
+        )
     k_sort = _sorter_k_of_flags(flags)
     if k_sort:
         from tpulc.codecs.bwt.stk import st_decode
@@ -480,7 +606,7 @@ def _bucket(x: int, lo: int = 4096) -> int:
 
 def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
              use_lzp: bool = True, sorter: str = "bwt",
-             filter_mode: str = "none") -> bytes:
+             filter_mode: str = "none", coder: int = CODER_RANS) -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n_total = arr.shape[0]
@@ -543,6 +669,81 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
     )
     fctx_all = metas[:, 3 + r_cap + NCTX * ALPHABET:]
 
+    if coder == CODER_ABC:
+        with timing.stage("bsc.rans"):
+            syms2 = jnp.stack([d[0] for d in devs])
+            ms32 = jnp.asarray(ms.astype(np.int32))
+            ones, tot, lane_bits_d, lane_cls_d = abc_stats(syms2, ms32)
+            inits = quantize_inits(np.asarray(ones), np.asarray(tot))
+            lane_bits = np.asarray(lane_bits_d).reshape(B, -1)
+            lane_cls_all = np.asarray(lane_cls_d)
+            lcap_a = max(1, cap // ACHUNK)
+            W = bucket_bits(max(int(lane_bits.max()), 1))
+            words, counts, states = abc_encode(
+                syms2, ms32, jnp.asarray(inits), W
+            )
+            counts_np = np.asarray(counts)
+            total_words = int(counts_np.sum())
+            flat = np.asarray(
+                compact_words(words, counts, _bucket(max(total_words, 1)))
+            )[:total_words]
+            states_np = np.asarray(states)
+        lane_offs = np.concatenate(
+            [[0], np.cumsum(counts_np)]
+        ).astype(np.int64)
+        payloads = []
+        for b in range(B):
+            block, stage = stages[b]
+            n = block.shape[0]
+            m_lzp = stage.shape[0]
+            m = int(ms[b])
+            used = max(1, -(-m // ACHUNK))
+            lane0 = b * lcap_a
+            cnts = counts_np[lane0: lane0 + used]
+            nwords = int(cnts.sum())
+            r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+            flags = flags_l[b] | _sorter_flag_bits(k_sort)
+            body_size = _HEAD.size + 2 * NMODELS + 8 + 6 * used \
+                + -(-used * FCTX_BITS // 8) + 2 * nwords \
+                + -(-r_used * aw // 8)
+            if body_size >= n:
+                payloads.append(
+                    _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, CODER_ABC)
+                    + block.tobytes()
+                )
+                continue
+            if oks[b]:
+                flags |= FLAG_ANCHORS
+            maxbits = int(lane_bits[b].max())
+            payload = _HEAD.pack(n, m_lzp, m, int(idx0s[b]), nwords,
+                                 flags, CODER_ABC)
+            if flags & FLAG_FILTER:
+                payload += bytes([fbs[b]])
+            if oks[b]:
+                payload += _pack_bits_np(
+                    anchors_all[b, :r_used].astype(np.uint32), aw
+                )
+            payload += inits[b].astype("<u2").tobytes()
+            payload += struct.pack("<II", maxbits, used)
+            payload += _pack_bits_np(
+                lane_cls_all[lane0: lane0 + used].astype(np.uint32),
+                FCTX_BITS,
+            )
+            payload += cnts.astype("<u2").tobytes()
+            payload += states_np[lane0: lane0 + used].astype(
+                "<u4"
+            ).tobytes()
+            payload += flat[
+                lane_offs[lane0]: lane_offs[lane0] + nwords
+            ].astype("<u2").tobytes()
+            payloads.append(payload)
+        c = Container(
+            codec_id=CODEC_BSC, flags=0, orig_len=n_total,
+            block_size=block_size, comp_sizes=[len(p) for p in payloads],
+            payloads=payloads, data_adler=adler32_np(arr),
+        )
+        return c.to_bytes()
+
     fqs = np.stack([normalize_freqs_ctx(h) for h in hists])  # [B,NCTX,S]
     freq_d = jnp.asarray(fqs.reshape(B * NCTX, ALPHABET).astype(np.int32))
     cum_np = np.concatenate(
@@ -585,12 +786,14 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             + 2 * nwords + -(-r_used * aw // 8)
         if body_size >= n:
             payloads.append(
-                _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED) + block.tobytes()
+                _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, coder)
+                + block.tobytes()
             )
             continue
         if oks[b]:
             flags |= FLAG_ANCHORS
-        payload = _HEAD.pack(n, m_lzp, m, int(idx0s[b]), nwords, flags)
+        payload = _HEAD.pack(n, m_lzp, m, int(idx0s[b]), nwords,
+                             flags, CODER_RANS)
         if flags & FLAG_FILTER:
             payload += bytes([fbs[b]])
         if oks[b]:
@@ -629,14 +832,16 @@ def decompress(buf: bytes) -> bytes:
 
     parsed = []
     for p in c.payloads:
-        n, m_lzp, m, idx0, nwords, flags = _HEAD.unpack(p[: _HEAD.size])
+        (n, m_lzp, m, idx0, nwords, flags,
+         coder) = _HEAD.unpack(p[: _HEAD.size])
         off = _HEAD.size
         if flags & FLAG_STORED:
             parsed.append(("stored", np.frombuffer(
                 p[off: off + n], np.uint8
             )))
             continue
-        assert flags & FLAG_CTX
+        if coder == CODER_RANS:
+            assert flags & FLAG_CTX
         filt = FILTER_NONE
         if flags & FLAG_FILTER:
             filt = p[off]
@@ -647,6 +852,29 @@ def decompress(buf: bytes) -> bytes:
             nb = -(-r_used * aw // 8)
             anchors = _unpack_bits_np(p[off: off + nb], aw, r_used)
             off += nb
+        if coder == CODER_ABC:
+            inits = np.frombuffer(
+                p[off: off + 2 * NMODELS], "<u2"
+            ).reshape(NMODELS)
+            off += 2 * NMODELS
+            maxbits, nlanes = struct.unpack("<II", p[off: off + 8])
+            off += 8
+            fb = -(-nlanes * FCTX_BITS // 8)
+            lane_cls = _unpack_bits_np(p[off: off + fb], FCTX_BITS,
+                                       nlanes)
+            off += fb
+            counts = np.frombuffer(
+                p[off: off + 2 * nlanes], "<u2"
+            ).astype(np.int32)
+            off += 2 * nlanes
+            states = np.frombuffer(p[off: off + 4 * nlanes], "<u4")
+            off += 4 * nlanes
+            flat = np.frombuffer(p[off: off + 2 * nwords], "<u2")
+            parsed.append((
+                "ablock", n, m_lzp, m, idx0, flags, anchors, inits,
+                lane_cls, counts, states, flat, filt, maxbits,
+            ))
+            continue
         fq, off = _unpack_freq_tables(p, off)
         (nlanes,) = struct.unpack("<I", p[off: off + 4])
         off += 4
@@ -666,7 +894,9 @@ def decompress(buf: bytes) -> bytes:
         ))
 
     blocks_idx = [i for i, pr in enumerate(parsed) if pr[0] == "block"]
+    ablocks_idx = [i for i, pr in enumerate(parsed) if pr[0] == "ablock"]
     outs: list = [None] * len(parsed)
+    syms_map: dict = {}
     if blocks_idx:
         B = len(blocks_idx)
         counts_all = np.zeros(B * lcap, np.int32)
@@ -705,11 +935,53 @@ def decompress(buf: bytes) -> bytes:
                 jnp.asarray(fctx_all), jnp.asarray(ms), freq_d, cum_d,
                 lut, B,
             )
-        stages_dev = []
         for j, i in enumerate(blocks_idx):
-            _, n, m_lzp, m, idx0, flags, anchors, fq, fctx, counts, \
-                states, flat, filt = parsed[i]
-            syms = syms2[j]
+            syms_map[i] = syms2[j]
+
+    if ablocks_idx:
+        B2 = len(ablocks_idx)
+        lcap_a = max(1, cap // ACHUNK)
+        counts_all = np.zeros(B2 * lcap_a, np.int32)
+        states_all = np.full(B2 * lcap_a, 1 << 16, np.uint32)
+        cls_all = np.zeros(B2 * lcap_a, np.int32)
+        inits_all = np.zeros((B2, NMODELS), np.uint16)
+        ms2 = np.zeros(B2, np.int32)
+        flats = []
+        nsteps = 0
+        for j, i in enumerate(ablocks_idx):
+            _, n, m_lzp, m, idx0, flags, anchors, inits, lane_cls, \
+                counts, states, flat, filt, maxbits = parsed[i]
+            lane0 = j * lcap_a
+            counts_all[lane0: lane0 + counts.shape[0]] = counts
+            states_all[lane0: lane0 + states.shape[0]] = states
+            cls_all[lane0: lane0 + lane_cls.shape[0]] = lane_cls
+            inits_all[j] = inits
+            ms2[j] = m
+            flats.append(flat)
+            nsteps = max(nsteps, maxbits)
+        with timing.stage("bsc.rans.decode"):
+            Wc = bucket_bits(int(counts_all.max(initial=0)) + 2, lo=64)
+            words_p = np.zeros((B2 * lcap_a, Wc), np.uint16)
+            lane_valid = (
+                np.arange(Wc)[None, :] < counts_all[:, None]
+            )
+            words_p[lane_valid] = np.concatenate(flats)
+            syms2a = abc_decode(
+                jnp.asarray(words_p), jnp.asarray(counts_all),
+                jnp.asarray(states_all), jnp.asarray(cls_all),
+                jnp.asarray(ms2), jnp.asarray(inits_all),
+                jnp.int32(nsteps), B=B2,
+            )
+        for j, i in enumerate(ablocks_idx):
+            syms_map[i] = syms2a[j]
+
+    all_idx = sorted(syms_map)
+    if all_idx:
+        stages_dev = []
+        for i in all_idx:
+            pr = parsed[i]
+            _, n, m_lzp, m, idx0, flags, anchors = pr[:7]
+            syms = syms_map[i]
             k_sort = _sorter_k_of_flags(flags)
             if k_sort:
                 stages_dev.append(_st_last_stage(syms, jnp.int32(m)))
@@ -727,9 +999,9 @@ def decompress(buf: bytes) -> bytes:
         from concurrent.futures import ThreadPoolExecutor
 
         with timing.stage("bsc.inverse+pull"):
-            with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
+            with ThreadPoolExecutor(max_workers=min(4, len(all_idx))) as ex:
                 pulled = list(ex.map(np.asarray, stages_dev))
-        for j, i in enumerate(blocks_idx):
+        for j, i in enumerate(all_idx):
             pr = parsed[i]
             _, n, m_lzp, m, idx0, flags = pr[:6]
             filt = pr[12]
