@@ -61,6 +61,32 @@ def test_bwt_periodic_inputs():
         np.testing.assert_array_equal(np.asarray(back), arr)
 
 
+def test_bwt_long_range_repeat_pairs():
+    """Period-P blocks with n < 2P: rotation pairs (i, i+P) stay tied
+    to depth ~P; the refinement loop's periodic-pair shortcut resolves
+    them via the first-mismatch scan.  Pinned against the naive gold
+    (order, not just round trip) so a wrong pair order cannot hide."""
+    from tpulc.codecs.bwt.rotsort import bwt_encode_anchored
+
+    rng = np.random.default_rng(1234)
+    cases = []
+    for P, n in [(700, 1300), (211, 400), (997, 1900)]:
+        s = rng.integers(0, 256, P).astype(np.uint8)
+        cases.append(np.concatenate([s, s])[:n])
+    with open("tests/data/pg1661.txt", "rb") as f:
+        tx = np.frombuffer(f.read()[:900], np.uint8)
+    cases.append(np.concatenate([tx, tx])[:1700])
+    for arr in cases:
+        gl, gi = bwt_encode_np(arr)
+        last, idx0 = bwt_encode(jnp.asarray(arr))
+        np.testing.assert_array_equal(np.asarray(last), gl)
+        assert int(idx0) == gi
+        l2, i2, anch, aok = bwt_encode_anchored(jnp.asarray(arr), 256)
+        np.testing.assert_array_equal(np.asarray(l2), gl)
+        # exact resolution means anchors stay usable on repeat-heavy data
+        assert bool(aok)
+
+
 @pytest.mark.parametrize("zero_frac", [0.0, 0.5, 0.95, 1.0])
 def test_rle2_matches_gold(zero_frac):
     rng = np.random.default_rng(17)

@@ -86,7 +86,19 @@ def _refine_ranks(data, idx, n, benign_ties: bool = True):
     callers must then break those ties by ASCENDING position.  `done`
     is True when the final ascending-tie-break order is the exact
     lexicographic rotation order (False only for inputs that exhausted
-    k, e.g. fully periodic blocks)."""
+    k, e.g. fully periodic blocks).
+
+    Periodic-pair shortcut: long-range repeated content (period P)
+    leaves rotation pairs (i, i+P) tied to depth ~P, forcing the full
+    round trajectory even though everything else resolved by depth
+    ~512 (the reference hits the same wall: bzip2's `mainSort` work
+    budget overflows into `fallbackSort`, `blocksort.c:1064`; the GPU
+    variant depth-limits at 64 and merges on the CPU).  When a round
+    leaves ONLY size-2 tied groups with one common distance P, each
+    pair's order is the sign of the first cyclic mismatch between the
+    block and its own P-rotation — a shared sign vector plus one
+    first-nonzero scan, NO gathers — so the remaining rounds collapse
+    into one O(n) step."""
     run = (_zero_run_mask(data, idx, n) if benign_ties
            else jnp.zeros((n,), jnp.int32))
     # (idx, run) ride the refinement sorts as ONE packed payload operand
@@ -114,6 +126,34 @@ def _refine_ranks(data, idx, n, benign_ties: bool = True):
     rank0 = _scatter_perm(order0, jnp.cumsum(grp0))
     done0 = ~jnp.any(_tied_rows(diff0) & (run0 == 0))
 
+    data2 = jnp.concatenate([data, data])
+    BIG = jnp.int32(1 << 29)
+
+    def _pair_resolve(rank, pf_rot, ps_rot, P):
+        """Resolve all (i, i+P) tied pairs at once.  v[i] = sign of the
+        first position p with data[i+p] != data[i+P+p] (cyclic, one
+        period window): v<0 keeps ascending order, v>0 swaps, v==0
+        means truly equal rotations (decline — the caller's periodic
+        fallback owns that case)."""
+        shifted = jax.lax.dynamic_slice(data2, (P,), (n,))
+        cmpv = jnp.sign(data.astype(jnp.int32) - shifted.astype(jnp.int32))
+        cmp2 = jnp.concatenate([cmpv, cmpv])
+        # first nonzero to the right via a COMMUTATIVE min-scan over
+        # (position << 2 | sign+1) — "first nonzero" as a raw op is
+        # non-commutative and reverse associative_scan feeds the suffix
+        # accumulation as the first argument.
+        idx2 = jnp.arange(2 * n, dtype=jnp.int32)
+        sent = jnp.int32(1 << 30)  # > (2n-1)<<2 | 3 for n < 2^27
+        enc = jnp.where(cmp2 != 0, (idx2 << 2) | (cmp2 + 1), sent)
+        fnz = jax.lax.associative_scan(jnp.minimum, enc, reverse=True)
+        v = jnp.where(fnz[:n] >= sent, 0, (fnz[:n] & 3) - 1)
+        ok = ~jnp.any(pf_rot & (v == 0))
+        v2 = jnp.concatenate([v, v])
+        vP = jax.lax.dynamic_slice(v2, (n - P,), (n,))  # v[(x-P) mod n]
+        loser = (pf_rot & (v > 0)) | (ps_rot & (vP < 0))
+        new_rank = rank * 2 + loser.astype(jnp.int32)
+        return jnp.where(ok, new_rank, rank), ok
+
     def cond(state):
         _, k, done = state
         return (k < n) & ~done
@@ -131,8 +171,43 @@ def _refine_ranks(data, idx, n, benign_ties: bool = True):
         newgrp = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), diff.astype(jnp.int32)]
         )
-        rank = _scatter_perm(order, jnp.cumsum(newgrp))
-        done = ~jnp.any(_tied_rows(diff) & ((out[_FAN] >> 30) == 0))
+        tied = _tied_rows(diff) & ((out[_FAN] >> 30) == 0)
+        done = ~jnp.any(tied)
+        # Row-space pair shape: group of exactly 2 = start row that is
+        # not last, whose successor is last.
+        new_grp = jnp.concatenate([jnp.ones((1,), jnp.bool_), diff])
+        last_grp = jnp.concatenate([diff, jnp.ones((1,), jnp.bool_)])
+        succ_last = jnp.concatenate(
+            [last_grp[1:], jnp.ones((1,), jnp.bool_)]
+        )
+        pf_row = tied & new_grp & ~last_grp & succ_last
+        ps_row = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
+                                  pf_row[:-1]])
+        all_pairs = ~jnp.any(tied & ~(pf_row | ps_row))
+        order_next = jnp.concatenate([order[1:], order[:1]])
+        d = order_next - order
+        dmin = jnp.min(jnp.where(pf_row, d, BIG))
+        dmax = jnp.max(jnp.where(pf_row, d, -BIG))
+        trigger = (~done) & all_pairs & (dmin == dmax) & (dmin > 0) \
+            & (dmin < n)
+        # rank + pair flags ride ONE scatter payload (rank*4 fits: the
+        # rank cumsum < n <= 2^27)
+        payload = jnp.cumsum(newgrp) * 4 \
+            + pf_row.astype(jnp.int32) * 2 + ps_row.astype(jnp.int32)
+        unpacked = _scatter_perm(order, payload)
+        rank = unpacked >> 2
+        pf_rot = (unpacked & 2) != 0
+        ps_rot = (unpacked & 1) != 0
+
+        def fast(_):
+            new_rank, ok = _pair_resolve(rank, pf_rot, ps_rot, dmin)
+            return new_rank, ok
+
+        rank2, resolved = jax.lax.cond(
+            trigger, fast, lambda _: (rank, jnp.bool_(False)), None
+        )
+        rank = jnp.where(trigger & resolved, rank2, rank)
+        done = done | (trigger & resolved)
         return rank, k * _FAN, done
 
     rank, _, done = jax.lax.while_loop(
