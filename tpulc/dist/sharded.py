@@ -293,3 +293,63 @@ def sharded_bsc_rans_forward(mesh: Mesh, block_size: int):
         )
 
     return jax.jit(step), make_args
+
+
+def sharded_abc_roundtrip(mesh: Mesh, block_size: int):
+    """Sharded adaptive-binary-coder (-e2) round trip: each device
+    encodes AND decodes its local blocks' symbol streams with a
+    replicated model-init table (the broadcast-table role), then
+    all_gathers per-block word counts (the container-offsets
+    collective).  Covers the coder the bsc `-e2` path ships, on the
+    mesh."""
+    from tpulc.codecs.bsclike.driver import _cap_for as _bsc_cap
+    from tpulc.codecs.bsclike.rans_adaptive import (
+        ACHUNK,
+        MAX_SYM_BITS,
+        abc_decode,
+        abc_encode,
+        abc_stats,
+    )
+
+    cap = _bsc_cap(block_size)
+    W = MAX_SYM_BITS * ACHUNK  # hard upper bound on bits per lane
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS_AXIS, None), P(BLOCKS_AXIS), P(None, None)),
+        out_specs=(P(BLOCKS_AXIS, None), P()),
+    )
+    def step(local_syms, local_ns, inits):
+        lB = local_syms.shape[0]
+        inits_l = jnp.broadcast_to(inits, (lB, inits.shape[1]))
+        _, _, lane_bits, lane_cls = abc_stats(local_syms, local_ns)
+        words, counts, states = abc_encode(
+            local_syms, local_ns, inits_l, W
+        )
+        out = abc_decode(
+            words, counts, states, lane_cls, local_ns, inits_l,
+            jnp.max(lane_bits), B=lB,
+        )
+        nwords = counts.reshape(lB, -1).sum(axis=1)
+        all_words = jax.lax.all_gather(nwords, BLOCKS_AXIS, tiled=True)
+        return out, all_words
+
+    def make_args(n_blocks: int, rng_seed: int = 0):
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        syms = np.minimum(
+            rng.geometric(0.4, size=(n_blocks, cap)) - 1, 256
+        ).astype(np.int32)
+        ns = np.full((n_blocks,), cap, np.int32)
+        from tpulc.codecs.bsclike.rans_adaptive import NMODELS
+
+        inits = np.full((1, NMODELS), 2048, np.uint16)
+        return (
+            jax.device_put(syms, NamedSharding(mesh, P(BLOCKS_AXIS, None))),
+            jax.device_put(ns, NamedSharding(mesh, P(BLOCKS_AXIS))),
+            jax.device_put(inits, NamedSharding(mesh, P(None, None))),
+        )
+
+    return jax.jit(step), make_args
