@@ -220,9 +220,9 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
             jnp.where(vflat[q], rec, 0), mode="drop"
         )
         qoff = qoff + vflat[q].astype(jnp.int32)
-    gm = gmb // 2 - 1                                # -1 on empty slots
-    gb = gmb & 1
-    gvalid = gmb > 0
+    # (model, bit, valid) decode per step from the ONE packed grid —
+    # separate gm/gb/gvalid grids would triple the [L, W] footprint
+    # (matters at 25 MB blocks: [24k lanes, 16k bits]).
     lane_bits = nb.sum(axis=1)
 
     # ---- pass 2: forward modeling (materialize probabilities) --------
@@ -234,13 +234,14 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
 
     def mbody(t, st):
         pstate, probs = st
-        m = jnp.maximum(gm[:, t], 0)
-        upd = gvalid[:, t]
+        e = gmb[:, t]
+        m = jnp.maximum(e // 2 - 1, 0)
+        upd = e > 0
         p = pstate[rows, m]
         probs = jax.lax.dynamic_update_slice(
             probs, p.astype(jnp.uint16)[None, :], (t, 0)
         )
-        pstate = pstate.at[rows, m].set(_adapt(p, gb[:, t], upd))
+        pstate = pstate.at[rows, m].set(_adapt(p, e & 1, upd))
         return pstate, probs
 
     _, probs = jax.lax.fori_loop(0, nsteps, mbody, (pstate0, probs0))
@@ -254,8 +255,9 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
     def ebody(i, st):
         x, emit, emask = st
         t = nsteps - 1 - i                           # reverse bit order
-        vq = gvalid[:, t] & (t < lane_bits)
-        b = gb[:, t].astype(jnp.uint32)
+        e = gmb[:, t]
+        vq = e > 0
+        b = (e & 1).astype(jnp.uint32)
         p1 = probs[:, t].astype(jnp.uint32)
         f = jnp.where(b == 1, p1, SCALE_A - p1)
         c = jnp.where(b == 1, SCALE_A - p1, 0).astype(jnp.uint32)
