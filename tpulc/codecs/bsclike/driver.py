@@ -236,6 +236,20 @@ def _cap_for(block_size: int) -> int:
     return -(-block_size // q) * q
 
 
+def _tcap_for(nbytes: int, cap: int) -> int:
+    """Transform-shape bucket: power-of-two >= nbytes, clamped to cap.
+
+    LZP routinely shrinks repetitive blocks several-fold; running the
+    sort-dominated transform (and the inverse at decode) at the
+    container cap would waste that factor in every rank-refinement
+    round.  Wire format is unchanged — lane/anchor counts are explicit
+    per block — so encode and decode bucket independently."""
+    t = max(64, CHUNK, ACHUNK)
+    while t < nbytes:
+        t *= 2
+    return min(t, cap)
+
+
 @jax.jit
 def _decode_stage(syms, m, n, idx0):
     return inverse_masked(syms, m, n, idx0)
@@ -365,14 +379,15 @@ def compress_block(block: np.ndarray, block_cap: int,
             stage = np.frombuffer(lz, np.uint8)
             flags |= FLAG_LZP
     m_lzp = stage.shape[0]
-    padded = np.zeros(cap, np.uint8)
+    tcap = _tcap_for(m_lzp, cap)
+    padded = np.zeros(tcap, np.uint8)
     padded[:m_lzp] = stage
     with timing.stage("bsc.transform"):
         if k_sort:
             syms, ctx, meta = _fwd_packed_st(
                 jnp.asarray(padded), jnp.int32(m_lzp), k_sort
             )
-            r_cap = -(-cap // ANCHOR_STRIDE)
+            r_cap = -(-tcap // ANCHOR_STRIDE)
             m, idx0 = meta[0], meta[1]
             a_ok = jnp.bool_(False)
             anchors = meta[3: 3 + r_cap]
@@ -461,6 +476,7 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         anchors = _unpack_bits_np(payload[off: off + nb], aw, r_used)
         off += nb
     cap = _cap_for(block_cap)
+    dcap = _tcap_for(max(m, m_lzp), cap)
     if coder == CODER_ABC:
         inits = np.frombuffer(
             payload[off: off + 2 * NMODELS], "<u2"
@@ -479,7 +495,7 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
         off += 4 * nlanes
         flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
-        lcap_a = max(1, cap // ACHUNK)
+        lcap_a = max(1, dcap // ACHUNK)
         Wc = bucket_bits(int(counts.max(initial=0)) + 2, lo=64)
         words_p = np.zeros((lcap_a, Wc), np.uint16)
         lane_valid = np.arange(Wc)[None, :] < counts[:, None]
@@ -510,7 +526,7 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
         off += 4 * nlanes
         flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
-        lcap = max(1, cap // CHUNK)
+        lcap = max(1, dcap // CHUNK)
         words_p = np.zeros((lcap, CHUNK + 2), np.uint16)
         lane_valid = np.arange(CHUNK + 2)[None, :] < counts[:, None]
         words_p[:nlanes][lane_valid] = flat
@@ -538,7 +554,7 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
             out = stage[:n]
         return invert_filter_np(out, filt)
     if anchors is not None:
-        r_cap = -(-cap0 // ANCHOR_STRIDE)
+        r_cap = -(-dcap // ANCHOR_STRIDE)
         anch_p = np.full(r_cap, idx0, np.int32)
         anch_p[: anchors.shape[0]] = anchors
         stage = _decode_stage_anchored(
@@ -612,16 +628,16 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
     n_total = arr.shape[0]
     cap = _cap_for(block_size)
     k_sort = _sorter_k(sorter)
-    lcap = max(1, cap // CHUNK)
-    r_cap = -(-cap // ANCHOR_STRIDE)
     aw = max(1, int(cap - 1).bit_length())
     starts = list(range(0, max(n_total, 1), block_size))
     B = len(starts)
 
-    # LZP of block b+1 runs in worker threads (ctypes drops the GIL)
-    # UNDER the device transform of block b — the TPU shape of the
-    # reference's OpenMP-parallel LZP (`lzp.cpp:244,323`); dispatches
-    # stay in block order so uploads pipeline under compute.
+    # LZP runs in worker threads (ctypes drops the GIL) — the TPU shape
+    # of the reference's OpenMP-parallel LZP (`lzp.cpp:244,323`).  All
+    # stripes finish BEFORE the first dispatch so the transform shapes
+    # can bucket to the post-LZP sizes (`_tcap_for`): native LZP runs
+    # ~290 MB/s, so the serialized wait is microscopic next to one
+    # saved refinement round at 4x the rows.
     def _lzp_one(s):
         orig = arr[s: s + block_size]
         fbb = _filter_byte_for(orig, filter_mode)
@@ -630,14 +646,12 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
 
     from concurrent.futures import ThreadPoolExecutor
 
+    with timing.stage("bsc.lzp"):
+        with ThreadPoolExecutor(max_workers=2) as lzp_pool:
+            lzp_results = list(lzp_pool.map(_lzp_one, starts))
+
     stages, flags_l, fbs, devs = [], [], [], []
-    lzp_pool = ThreadPoolExecutor(max_workers=2)
-    lzp_results = iter(lzp_pool.map(_lzp_one, starts))
-    for _ in starts:
-        # the timed stage is the residual WAIT: LZP of later blocks
-        # hides under already-dispatched device transforms
-        with timing.stage("bsc.lzp"):
-            orig, blk, fbb, lz = next(lzp_results)
+    for orig, blk, fbb, lz in lzp_results:
         flags = FLAG_FILTER if fbb != FILTER_NONE else 0
         fbs.append(fbb)
         stage = blk
@@ -646,7 +660,11 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             flags |= FLAG_LZP
         stages.append((orig, stage))
         flags_l.append(flags)
-        padded = np.zeros(cap, np.uint8)
+    tcap = _tcap_for(max(s.shape[0] for _, s in stages), cap)
+    lcap = max(1, tcap // CHUNK)
+    r_cap = -(-tcap // ANCHOR_STRIDE)
+    for _, stage in stages:
+        padded = np.zeros(tcap, np.uint8)
         padded[: stage.shape[0]] = stage
         if k_sort:
             devs.append(_fwd_packed_st(
@@ -656,7 +674,6 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             devs.append(_fwd_packed(
                 jnp.asarray(padded), jnp.int32(stage.shape[0])
             ))
-    lzp_pool.shutdown()
 
     with timing.stage("bsc.transform"):
         metas = np.asarray(jnp.stack([d[2] for d in devs]))  # ONE pull
@@ -677,7 +694,7 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             inits = quantize_inits(np.asarray(ones), np.asarray(tot))
             lane_bits = np.asarray(lane_bits_d).reshape(B, -1)
             lane_cls_all = np.asarray(lane_cls_d)
-            lcap_a = max(1, cap // ACHUNK)
+            lcap_a = max(1, tcap // ACHUNK)
             W = bucket_bits(max(int(lane_bits.max()), 1))
             words, counts, states = abc_encode(
                 syms2, ms32, jnp.asarray(inits), W
@@ -826,8 +843,6 @@ def decompress(buf: bytes) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_BSC
     cap = _cap_for(c.block_size)
-    lcap = max(1, cap // CHUNK)
-    r_cap = -(-cap // ANCHOR_STRIDE)
     aw = max(1, int(cap - 1).bit_length())
 
     parsed = []
@@ -899,6 +914,11 @@ def decompress(buf: bytes) -> bytes:
     syms_map: dict = {}
     if blocks_idx:
         B = len(blocks_idx)
+        # decode-side transform bucket (see _tcap_for)
+        dcap1 = _tcap_for(
+            max(max(parsed[i][2], parsed[i][3]) for i in blocks_idx), cap
+        )
+        lcap = max(1, dcap1 // CHUNK)
         counts_all = np.zeros(B * lcap, np.int32)
         states_all = np.full(B * lcap, 1 << 16, np.uint32)
         fctx_all = np.zeros(B * lcap, np.int32)
@@ -940,7 +960,10 @@ def decompress(buf: bytes) -> bytes:
 
     if ablocks_idx:
         B2 = len(ablocks_idx)
-        lcap_a = max(1, cap // ACHUNK)
+        dcap2 = _tcap_for(
+            max(max(parsed[i][2], parsed[i][3]) for i in ablocks_idx), cap
+        )
+        lcap_a = max(1, dcap2 // ACHUNK)
         counts_all = np.zeros(B2 * lcap_a, np.int32)
         states_all = np.full(B2 * lcap_a, 1 << 16, np.uint32)
         cls_all = np.zeros(B2 * lcap_a, np.int32)
@@ -986,7 +1009,8 @@ def decompress(buf: bytes) -> bytes:
             if k_sort:
                 stages_dev.append(_st_last_stage(syms, jnp.int32(m)))
             elif anchors is not None:
-                anch_p = np.full(r_cap, idx0, np.int32)
+                r_cap_i = -(-int(syms.shape[0]) // ANCHOR_STRIDE)
+                anch_p = np.full(r_cap_i, idx0, np.int32)
                 anch_p[: anchors.shape[0]] = anchors
                 stages_dev.append(_decode_stage_anchored(
                     syms, jnp.int32(m), jnp.int32(m_lzp),
