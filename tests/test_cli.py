@@ -51,3 +51,27 @@ def test_cli_bsc_nolzp(corpus):
     back = d / "back.nolzp"
     main(["decompress", "-i", str(out), "-o", str(back)])
     assert back.read_bytes() == data
+
+
+def test_cli_info(tmp_path):
+    """`info` inspects a container without decoding (bsc_block_info
+    role): codec name, block table, checksums."""
+    import json
+
+    data = b"to be or not to be " * 400
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    dst = tmp_path / "out.tplc"
+    main(["compress", "-c", "huffman", "-i", str(src), "-o", str(dst),
+          "-b", "4096"])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["info", "-i", str(dst)]) == 0
+    info = json.loads(buf.getvalue())
+    assert info["codec"] == "huffman"
+    assert info["orig_len"] == len(data)
+    assert info["nblocks"] == len(info["blocks"])
+    assert sum(b["comp_size"] for b in info["blocks"]) <= info["comp_len"]

@@ -50,7 +50,46 @@ def _parse(argv):
     d.add_argument("-o", "--output", required=True)
     d.add_argument("--timings", action="store_true",
                    help="print per-stage timing JSON to stderr")
+    n = sub.add_parser("info", help="inspect a container without "
+                                    "decoding (bsc_block_info role)")
+    n.add_argument("-i", "--input", required=True)
     return p.parse_args(argv)
+
+
+def _info(data: bytes) -> int:
+    """Container introspection (libbsc's `bsc_block_info`,
+    `libbsc.h:152`): codec, block geometry, per-block compressed sizes
+    and checksums — no decode."""
+    import json
+
+    from tpulc.pipeline.registry import codec_name_of
+
+    if data[:3] == b"BZh":
+        nstreams = data.count(b"BZh")
+        print(json.dumps({
+            "format": ".bz2", "level": int(chr(data[3])),
+            "streams": nstreams,
+        }))
+        return 0
+    c = Container.from_bytes(data)
+    blocks = [
+        {"index": b.index, "offset": b.offset, "comp_size": b.comp_size,
+         "raw_size": b.raw_size,
+         "payload_adler": c.payload_adlers[b.index]}
+        for b in c.block_infos()
+    ]
+    print(json.dumps({
+        "format": "tplc",
+        "codec": codec_name_of(c.codec_id),
+        "orig_len": c.orig_len,
+        "block_size": c.block_size,
+        "nblocks": len(c.payloads),
+        "comp_len": len(data),
+        "ratio": round(c.orig_len / max(len(data), 1), 3),
+        "data_adler": c.data_adler,
+        "blocks": blocks,
+    }))
+    return 0
 
 
 def main(argv=None):
@@ -59,6 +98,8 @@ def main(argv=None):
     timer = timing.enable() if getattr(args, "timings", False) else None
     with open(args.input, "rb") as f:
         data = f.read()
+    if args.cmd == "info":
+        return _info(data)
     t0 = time.perf_counter()
     if args.cmd == "compress":
         codec = get_codec(args.codec)

@@ -36,6 +36,13 @@ def codec_id_of(name: str) -> int:
     return _NAMES[name]
 
 
+def codec_name_of(cid: int) -> str:
+    for name, i in _NAMES.items():
+        if i == cid:
+            return name
+    return f"unknown({cid})"
+
+
 def get_codec(name_or_id: str | int):
     """Resolve a codec driver module lazily by name or id."""
     if isinstance(name_or_id, str):
