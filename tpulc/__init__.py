@@ -19,4 +19,33 @@ hot loops); blocks shard data-parallel over a `jax.sharding.Mesh`.
 
 __version__ = "0.1.0"
 
+
+def _enable_compile_cache() -> None:
+    """Turn on JAX's persistent compilation cache for every tpulc entry
+    point (CLI, library, bench).  Big-cap programs cost minutes to
+    compile (tens of minutes through a remote-compile tunnel); the
+    cache makes that a once-per-machine cost.  Opt out with
+    TPULC_NO_COMPILE_CACHE=1; override the location with
+    JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    if os.environ.get("TPULC_NO_COMPILE_CACHE"):
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not path:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = (os.path.join(repo, ".jax_cache")
+                if os.access(repo, os.W_OK)
+                else os.path.expanduser("~/.cache/tpulc/jax"))
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()
+
 from tpulc.pipeline.registry import available_codecs  # noqa: F401
