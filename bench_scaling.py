@@ -15,17 +15,26 @@ collective is the all_gather of per-block symbol counts).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Virtual-mesh setup must happen BEFORE jax initializes a backend:
+# probing jax.devices() first would pin the single real chip and the
+# host-platform device count could no longer take effect.  Set
+# TPULC_SCALING_REAL=1 on an actual pod slice to use the ICI mesh.
+if not os.environ.get("TPULC_SCALING_REAL"):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
 
 
 def main():
     import jax
 
-    if jax.default_backend() != "cpu" and len(jax.devices()) == 1:
-        # single real chip: force the virtual CPU mesh for the
-        # demonstration (a pod slice would skip this)
+    if not os.environ.get("TPULC_SCALING_REAL"):
         jax.config.update("jax_platforms", "cpu")
 
     from tpulc.dist.mesh import make_mesh

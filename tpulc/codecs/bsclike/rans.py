@@ -107,7 +107,8 @@ def rans_encode(syms: jax.Array, m: jax.Array, freq: jax.Array,
         x = jnp.where(v, x_new, x)
         return x, emit, emask
 
-    x, emit, emask = jax.lax.fori_loop(0, chunk, body, (x0, emit0, emask0))
+    x, emit, emask = jax.lax.fori_loop(0, chunk, body,
+                                       (x0, emit0, emask0), unroll=4)
     # compact per lane: emissions were recorded at step t (reverse sym
     # order); decode consumes them in the same order it re-renormalizes,
     # which is the reverse of emission order per lane -> store reversed.
@@ -159,7 +160,8 @@ def rans_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
         out = out.at[:, j].set(jnp.where(v, s, 0))
         return x, rpos, out
 
-    x, rpos, out = jax.lax.fori_loop(0, chunk, body, (x0, rpos0, out0))
+    x, rpos, out = jax.lax.fori_loop(0, chunk, body, (x0, rpos0, out0),
+                                     unroll=4)
     return out.reshape(-1)
 
 
@@ -276,7 +278,8 @@ def rans_encode_ctx(syms: jax.Array, ctx: jax.Array, m: jax.Array,
         x = jnp.where(v, x_new, x)
         return x, emit, emask
 
-    x, emit, emask = jax.lax.fori_loop(0, chunk, body, (x0, emit0, emask0))
+    x, emit, emask = jax.lax.fori_loop(0, chunk, body,
+                                       (x0, emit0, emask0), unroll=4)
     emit_t = emit.T
     emask_t = emask.T
     counts = jnp.sum(emask_t.astype(jnp.int32), axis=1)
@@ -345,7 +348,7 @@ def rans_decode_ctx_chained(words: jax.Array, counts: jax.Array,
         return x, rpos, k, out
 
     x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
-                                        (x0, rpos0, k0, out0))
+                                        (x0, rpos0, k0, out0), unroll=4)
     return out.reshape(-1)
 
 
@@ -408,7 +411,8 @@ def rans_encode_ctx_batch(syms2: jax.Array, gctx2: jax.Array,
         x = jnp.where(v, x_new, x)
         return x, emit, emask
 
-    x, emit, emask = jax.lax.fori_loop(0, chunk, body, (x0, emit0, emask0))
+    x, emit, emask = jax.lax.fori_loop(0, chunk, body,
+                                       (x0, emit0, emask0), unroll=4)
     emit_t = emit.T
     emask_t = emask.T
     counts = jnp.sum(emask_t.astype(jnp.int32), axis=1)
@@ -476,7 +480,7 @@ def rans_decode_ctx_batch(words: jax.Array, counts: jax.Array,
         return x, rpos, k, out
 
     x, rpos, k, out = jax.lax.fori_loop(0, chunk, body,
-                                        (x0, rpos0, k0, out0))
+                                        (x0, rpos0, k0, out0), unroll=4)
     return out.reshape(B, nlanes * chunk)
 
 

@@ -244,7 +244,16 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
         pstate = pstate.at[rows, m].set(_adapt(p, e & 1, upd))
         return pstate, probs
 
-    _, probs = jax.lax.fori_loop(0, nsteps, mbody, (pstate0, probs0))
+    # dynamic trip count forbids fori_loop's own unroll; 4 substeps per
+    # iteration amortize the while-loop per-step overhead instead.
+    # Overshoot rows (t in [nsteps, ceil4)) are no-ops: gmb is 0 there.
+    def m4(s, st):
+        for q in range(4):
+            st = mbody(s * 4 + q, st)
+        return st
+
+    _, probs = jax.lax.fori_loop(0, (nsteps + 3) // 4, m4,
+                                 (pstate0, probs0))
     probs = probs.T                                  # [L, W]
 
     # ---- pass 3: reverse rANS over (bit, prob) -----------------------
@@ -255,8 +264,10 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
     def ebody(i, st):
         x, emit, emask = st
         t = nsteps - 1 - i                           # reverse bit order
-        e = gmb[:, t]
-        vq = e > 0
+        e = gmb[:, jnp.maximum(t, 0)]
+        # unrolled overshoot (i >= nsteps -> t < 0) must not re-code
+        # bit 0: the clamped read IS a valid slot there
+        vq = (e > 0) & (t >= 0)
         b = (e & 1).astype(jnp.uint32)
         p1 = probs[:, t].astype(jnp.uint32)
         f = jnp.where(b == 1, p1, SCALE_A - p1)
@@ -275,7 +286,12 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
         x = jnp.where(vq, x_new, x)
         return x, emit, emask
 
-    x, emit, emask = jax.lax.fori_loop(0, nsteps, ebody,
+    def e4(s, st):
+        for q in range(4):
+            st = ebody(s * 4 + q, st)
+        return st
+
+    x, emit, emask = jax.lax.fori_loop(0, (nsteps + 3) // 4, e4,
                                        (x0, emit0, emask0))
     emit_t = emit.T                                  # [L, W] emission order
     emask_t = emask.T
@@ -405,7 +421,15 @@ def abc_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
 
     st = (x0, rpos0, pstate, out0, sym_i0, phase0, lvl0, v1acc0, ee0,
           mpos0, c1_0, c2_0)
-    st = jax.lax.fori_loop(0, nsteps, body, st)
+
+    # 4 FSM steps per loop iteration (dynamic bound forbids fori_loop
+    # unroll); steps past every lane's bit budget are no-ops (inactive)
+    def b4(s, stt):
+        for q in range(4):
+            stt = body(s * 4 + q, stt)
+        return stt
+
+    st = jax.lax.fori_loop(0, (nsteps + 3) // 4, b4, st)
     out = st[3]
     return out.reshape(B, lcap * chunk)
 

@@ -232,7 +232,7 @@ def bwt_decode_masked_anchored(last: jax.Array, n: jax.Array,
         out = jax.lax.dynamic_update_slice(out, row, (t, 0))
         return e[:, 0], out
 
-    _, out = jax.lax.fori_loop(0, S, body, (anchors, out0))
+    _, out = jax.lax.fori_loop(0, S, body, (anchors, out0), unroll=4)
     flat = out.T.reshape(-1)                      # lane-major steps
     # result[j] = flat[n-1-j]: flip then slice at traced offset.  Pad
     # first — dynamic_slice CLAMPS starts near the end, which would

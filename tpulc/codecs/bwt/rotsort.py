@@ -372,6 +372,6 @@ def bwt_decode_anchored(last: jax.Array, idx0: jax.Array,
             )
             return T[p], out
 
-    _, out = jax.lax.fori_loop(0, S, body, (anchors, out0))
+    _, out = jax.lax.fori_loop(0, S, body, (anchors, out0), unroll=4)
     lin = out.T.reshape(-1)[::-1]  # lin[R*S-1-k] = symbol at step k
     return lin[R * S - n:]

@@ -289,5 +289,5 @@ def huffman_decode_uniform_packed(
         return pos, out
 
     _, out = jax.lax.fori_loop(0, chunk_syms, body,
-                               (chunk_bit_offsets, out0))
+                               (chunk_bit_offsets, out0), unroll=4)
     return out.T.reshape(-1)[:n_out]
