@@ -291,7 +291,7 @@ def adaptive_cost_global(mid, bb, nmodels, rate=5, init=None):
 
 
 def adaptive_cost_lanes(mid, bb, ow, nmodels, rate=5, rate2=None,
-                        chunk=CHUNK):
+                        chunk=CHUNK, static_mix=False):
     """Within-lane adaptation from static inits (the TPU variant).
 
     Lanes cut the SYMBOL stream every `chunk` symbols; each lane's
@@ -325,7 +325,12 @@ def adaptive_cost_lanes(mid, bb, ow, nmodels, rate=5, rate2=None,
         m = gm[:, t]
         b = gb[:, t].astype(np.float64)
         v = gv[:, t]
-        pe = (p[rows, m] + p2[rows, m]) / 2 if rate2 else p[rows, m]
+        if static_mix:
+            pe = (p[rows, m] + init[m]) / 2
+        elif rate2:
+            pe = (p[rows, m] + p2[rows, m]) / 2
+        else:
+            pe = p[rows, m]
         pq = np.clip(pe, 1 / SCALE, 1 - 1 / SCALE)
         cost = -np.where(b == 1, np.log2(pq), np.log2(1 - pq))
         total += cost[v].sum()
@@ -356,15 +361,15 @@ def main():
         mid, bb, ow, nmodels = decompose(syms, rich=rich)
         print(f"[rich={rich}] binary events: {len(bb)} "
               f"({len(bb)/len(syms):.2f}/sym), {nmodels} models")
-        g = adaptive_cost_global(mid, bb, nmodels, rate=5)
-        print(f"  adaptive GLOBAL rate=5:          {g:,.0f} B")
-        for chunk in (1024, 2048):
-            for rate, rate2 in ((5, None), (4, 6)):
-                lc, mx = adaptive_cost_lanes(mid, bb, ow, nmodels,
-                                             rate=rate, rate2=rate2,
-                                             chunk=chunk)
-                print(f"  LANES chunk={chunk} rate={rate}/{rate2}:  "
-                      f"{lc:,.0f} B   max bits/lane {mx}")
+        for rate in (3, 4, 5):
+            lc, mx = adaptive_cost_lanes(mid, bb, ow, nmodels,
+                                         rate=rate, chunk=1024,
+                                         static_mix=True)
+            print(f"  LANES 1024 rate={rate} +staticmix:  "
+                  f"{lc:,.0f} B   max bits/lane {mx}")
+        lc, mx = adaptive_cost_lanes(mid, bb, ow, nmodels, rate=5,
+                                     chunk=1024)
+        print(f"  LANES 1024 rate=5 plain:       {lc:,.0f} B")
 
 
 if __name__ == "__main__":

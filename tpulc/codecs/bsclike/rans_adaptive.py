@@ -232,16 +232,23 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
     probs0 = jnp.zeros((W, L), jnp.uint16)
     nsteps = jnp.max(lane_bits)
 
+    mcol = jnp.arange(NMODELS, dtype=jnp.int32)[None, :]
+
     def mbody(t, st):
         pstate, probs = st
         e = gmb[:, t]
         m = jnp.maximum(e // 2 - 1, 0)
         upd = e > 0
-        p = pstate[rows, m]
+        # one-hot select instead of gather/scatter: a TPU scatter costs
+        # tens of µs in fixed overhead per loop step; masked ops over
+        # the small [L, NMODELS] state are ~µs.
+        hit = mcol == m[:, None]
+        p = jnp.sum(jnp.where(hit, pstate, 0), axis=1)
         probs = jax.lax.dynamic_update_slice(
             probs, p.astype(jnp.uint16)[None, :], (t, 0)
         )
-        pstate = pstate.at[rows, m].set(_adapt(p, e & 1, upd))
+        newv = _adapt(p, e & 1, upd)
+        pstate = jnp.where(hit & upd[:, None], newv[:, None], pstate)
         return pstate, probs
 
     # dynamic trip count forbids fori_loop's own unroll; 4 substeps per
@@ -335,6 +342,8 @@ def abc_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
     c1_0 = lane_cls // 4
     c2_0 = lane_cls % 4
     Wp2 = words.shape[1]
+    mcol = jnp.arange(NMODELS, dtype=jnp.int32)[None, :]
+    ocol = jnp.arange(chunk, dtype=jnp.int32)[None, :]
 
     def body(t, st):
         (x, rpos, pstate, out, sym_i, phase, lvl, v1acc, ee, mpos,
@@ -351,7 +360,8 @@ def abc_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
                       jnp.where(phase == 2, m_exp, m_mant)),
         )
         m = jnp.clip(m, 0, NMODELS - 1)
-        p1 = pstate[rows, m].astype(jnp.uint32)
+        hit = mcol == m[:, None]
+        p1 = jnp.sum(jnp.where(hit, pstate, 0), axis=1).astype(jnp.uint32)
         f0 = jnp.uint32(SCALE_A) - p1
         # decode bit: slot < f0 -> bit 0
         slot = x & jnp.uint32(SCALE_A - 1)
@@ -364,9 +374,8 @@ def abc_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
         x_new2 = jnp.where(need, (x_new << jnp.uint32(16)) | w, x_new)
         rpos = rpos + need.astype(jnp.int32)
         x = jnp.where(active, x_new2, x)
-        pstate = pstate.at[rows, m].set(
-            _adapt(pstate[rows, m], bit, active)
-        )
+        newv = _adapt(p1.astype(jnp.int32), bit, active)
+        pstate = jnp.where(hit & active[:, None], newv[:, None], pstate)
         # FSM transition
         is0, is1 = phase == 0, phase == 1
         is2, is3 = phase == 2, phase == 3
@@ -388,8 +397,11 @@ def abc_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
             emit0_, 0,
             jnp.where(emit1_, 1, jnp.where(emit2_, 2, v1_n + 1)),
         )
-        out = out.at[rows, jnp.where(emitted, sym_i, chunk)].set(
-            s_out, mode="drop"
+        # one-hot column select (scatter fixed overhead dominates the
+        # loop otherwise — see mbody note)
+        out = jnp.where(
+            emitted[:, None] & (ocol == sym_i[:, None]),
+            s_out[:, None], out,
         )
         # next-phase selection
         phase_n = jnp.where(
