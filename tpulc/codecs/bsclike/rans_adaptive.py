@@ -228,7 +228,6 @@ def abc_encode(syms2: jax.Array, ms: jax.Array, inits: jax.Array,
     # ---- pass 2: forward modeling (materialize probabilities) --------
     blk_of_lane = jnp.arange(L, dtype=jnp.int32) // lcap
     pstate0 = inits[blk_of_lane].astype(jnp.int32)   # [L, NMODELS]
-    rows = jnp.arange(L, dtype=jnp.int32)
     probs0 = jnp.zeros((W, L), jnp.uint16)
     nsteps = jnp.max(lane_bits)
 
