@@ -214,3 +214,26 @@ def test_suffix_array_dc3_device():
     data = np.frombuffer(b"abcabcabcabc" * 40 + b"x", np.uint8)
     got = np.asarray(suffix_array_dc3(data))
     assert np.array_equal(got, suffix_array_np(data))
+
+
+def test_sort_strings_full_matches_python():
+    """Variable-length stringsort (cudppStringSort parity): suffix-rank
+    ordering equals Python's sorted() on the same strings."""
+    import numpy as np
+    from tpulc.primitives.parallel import sort_strings_full
+
+    rng = np.random.default_rng(33)
+    words = [bytes(rng.integers(1, 256, rng.integers(1, 12)).tolist())
+             for _ in range(40)]
+    words += [b"abc", b"abcd", b"ab", b"abc"]  # prefixes + duplicate
+    packed = b"\0".join(words) + b"\0"
+    starts, off = [], 0
+    for w in words:
+        starts.append(off)
+        off += len(w) + 1
+    order = np.asarray(sort_strings_full(
+        jnp.asarray(np.frombuffer(packed, np.uint8)),
+        jnp.asarray(np.asarray(starts, np.int32)),
+    ))
+    got = [words[i] for i in order]
+    assert got == sorted(words)

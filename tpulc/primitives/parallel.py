@@ -93,6 +93,32 @@ def sort_strings(packed_prefix, indices):
     return sort_pairs(packed_prefix, indices)
 
 
+def sort_strings_full(chars, starts):
+    """Full variable-length cudppStringSort (`apps/.../stringsort`):
+    lexicographically order null-terminated strings packed in `chars`
+    (uint8[n], 0 after each string), given their start offsets.
+
+    Suffix ranks of the concatenation order the strings directly: the
+    0 terminator sorts below every character, so comparison effectively
+    stops at the shorter string's end — the same reduction cudpp's BWT
+    path uses, here on the prefix-doubling suffix array.  Equal strings
+    tie-break by what follows them (cudpp leaves equal-key order
+    unspecified too).
+    """
+    from tpulc.primitives.suffix import suffix_array
+
+    sa = suffix_array(chars)
+    n = chars.shape[0]
+    # rank[i] = position of suffix i in sorted order
+    rank = jnp.zeros((n,), jnp.int32).at[sa].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    keys = rank[starts]
+    _, order = sort_pairs(keys, jnp.arange(starts.shape[0],
+                                           dtype=jnp.int32))
+    return order
+
+
 def merge_sorted(a, b):
     """moderngpu Merge: merge two sorted arrays (same dtype)."""
     both = jnp.concatenate([a, b])
