@@ -74,23 +74,6 @@ def _match_candidates(padded: jax.Array, n_total: int, k_cand: int):
     return jnp.concatenate([c3, c7], axis=1)
 
 
-def _extend(padded: jax.Array, pos: jax.Array, src: jax.Array):
-    """Match length (0..MAX_CODED) of src vs pos given 3-gram equality."""
-    valid = src >= 0
-    srcc = jnp.maximum(src, 0)
-    eq3 = (
-        (padded[srcc] == padded[pos])
-        & (padded[(srcc + 1)] == padded[(pos + 1)])
-        & (padded[(srcc + 2)] == padded[(pos + 2)])
-    )
-    length = jnp.where(valid & eq3, 3, 0)
-    still = valid & eq3
-    for j in range(3, MAX_CODED):
-        still = still & (padded[srcc + j] == padded[pos + j])
-        length = length + still.astype(jnp.int32)
-    return length
-
-
 def _exact_best_match(padded: jax.Array, n_total: int, n: int):
     """Exact longest match (3..18) per data position, brute.c-parity
     lengths, via incremental l-gram ranks: one stable sort per length.
@@ -209,11 +192,33 @@ def lzss_encode_device(data: jax.Array, k_cand: int, out_words: int,
         best_src = jnp.where(take, st_src, best_src)
     else:
         cand = _match_candidates(padded, n_total, k_cand)  # [n, K + K//2]
+        # Packed-word extension: comparing candidates byte-by-byte cost
+        # ~36 full-size gathers per candidate (the dominant cost of the
+        # whole encoder); 4 bytes per packed u32 word cuts the src-side
+        # gathers to 5, and the cursor side is contiguous so its words
+        # are static slices (free).
+        pu = padded.astype(jnp.uint32)
+        w4 = (
+            (pu << 24) | (jnp.roll(pu, -1) << 16)
+            | (jnp.roll(pu, -2) << 8) | jnp.roll(pu, -3)
+        )
+        wp = [w4[WINDOW + 4 * k: WINDOW + 4 * k + n] for k in range(5)]
         best_len = jnp.zeros((n,), jnp.int32)
         best_src = jnp.zeros((n,), jnp.int32)
         for kk in range(cand.shape[1]):
-            src = cand[pos_pad, kk]
-            ln = _extend(padded, pos_pad, src)
+            src = cand[WINDOW: WINDOW + n, kk]
+            valid = src >= 0
+            srcc = jnp.maximum(src, 0)
+            ln = jnp.zeros((n,), jnp.int32)
+            still = valid
+            for k in range(5):
+                x = w4[srcc + 4 * k] ^ wp[k]
+                mb = jnp.minimum(
+                    jax.lax.clz(x).astype(jnp.int32) >> 3, 4
+                )
+                ln = ln + jnp.where(still, mb, 0)
+                still = still & (x == 0)
+            ln = jnp.minimum(ln, MAX_CODED)
             # window constraint and no overlap with the cursor
             in_window = (src >= pos_pad - WINDOW) & (src >= 0)
             ln = jnp.where(in_window, jnp.minimum(ln, pos_pad - src), 0)
