@@ -84,3 +84,27 @@ def test_incompressible_raw_fallback():
     assert culzss_driver.decompress(comp) == data
     # raw fallback keeps expansion bounded
     assert len(comp) < len(data) * 1.05
+
+
+def test_beats_reference_encoder_semantics():
+    """tpulc's full-window search must compress at least as well as a
+    faithful simulation of the reference's own EncodeKernel/FindMatch/
+    aftercomp (`gpu_compress.cu:104-350,462-569`) — the honest parity
+    bar for this codec (the README's 1.60 is unreproducible; see
+    PARITY.md §2.1 and tools/culzss_refsim.py)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import culzss_refsim as refsim
+
+    data = _pg(PCKT * 2)
+    data = data + bytes(PCKT * 2 - len(data))
+    out, sizes, _ = culzss_encode_block(
+        jnp.asarray(np.frombuffer(data, np.uint8))
+    )
+    sizes = np.asarray(sizes)
+    for j in range(2):
+        pkt = data[j * PCKT: (j + 1) * PCKT]
+        ref_enc = refsim.aftercomp(refsim.encode_packet_pairs(pkt))
+        # the reference's own output must decode (sanity of the sim)
+        assert culzss_gold.decode_packet(ref_enc) == pkt
+        assert int(sizes[j]) <= len(ref_enc)

@@ -40,6 +40,10 @@ def _enable_compile_cache() -> None:
     try:
         import jax
 
+        # Respect an explicit user configuration (jax.config or env):
+        # never override a cache dir the consumer already chose.
+        if jax.config.jax_compilation_cache_dir:
+            return
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

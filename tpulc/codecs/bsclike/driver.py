@@ -331,14 +331,14 @@ def _finish_block_abc(syms, m, idx0, anchors, a_ok, orig_block, n,
         np.arange(words_np.shape[1])[None, :] < counts_np[:, None]
     )
     flat = words_np[lane_valid].astype("<u2")
+    r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+    aw = max(1, int(cap - 1).bit_length())
     body_size = _HEAD.size + 2 * NMODELS + 8 + 6 * used \
         + -(-used * FCTX_BITS // 8) + 2 * nwords \
-        + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
+        + (-(-r_used * aw // 8) if bool(a_ok) else 0)
     if body_size >= n:
         return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, CODER_ABC) \
             + orig_block.tobytes()
-    r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
-    aw = max(1, int(cap - 1).bit_length())
     anchors_np = None
     if bool(a_ok):
         flags |= FLAG_ANCHORS
@@ -424,7 +424,9 @@ def compress_block(block: np.ndarray, block_cap: int,
         (fq > 0).sum()
     ) + 4 + 6 * used_lanes \
         + -(-used_lanes * FCTX_BITS // 8) + 2 * nwords \
-        + 4 * max(1, -(-m_lzp // ANCHOR_STRIDE))
+        + (-(-max(1, -(-m_lzp // ANCHOR_STRIDE))
+             * max(1, int(cap - 1).bit_length()) // 8)
+           if bool(a_ok) else 0)
     if body_size >= n:
         return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED,
                           CODER_RANS) + orig_block.tobytes()
@@ -722,7 +724,7 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             flags = flags_l[b] | _sorter_flag_bits(k_sort)
             body_size = _HEAD.size + 2 * NMODELS + 8 + 6 * used \
                 + -(-used * FCTX_BITS // 8) + 2 * nwords \
-                + -(-r_used * aw // 8)
+                + (-(-r_used * aw // 8) if oks[b] else 0)
             if body_size >= n:
                 payloads.append(
                     _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, CODER_ABC)
@@ -800,7 +802,7 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
         body_size = _HEAD.size + 33 * NCTX + 2 * int(
             (fqs[b] > 0).sum()
         ) + 4 + 6 * used_lanes + -(-used_lanes * FCTX_BITS // 8) \
-            + 2 * nwords + -(-r_used * aw // 8)
+            + 2 * nwords + (-(-r_used * aw // 8) if oks[b] else 0)
         if body_size >= n:
             payloads.append(
                 _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, coder)

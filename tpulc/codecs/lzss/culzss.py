@@ -30,89 +30,49 @@ PCKT = 4096
 WIN = 128
 MAX_LEN = 127          # length byte; reference clamps to MAX_CODED-1
 MIN_MATCH = 3
-K_CHAIN = 2  # depth 4 gains only ~0.3% ratio for 2x the match gathers
-_EXT_WORDS = 5         # chain-match cap = 4*_EXT_WORDS bytes (runs are
-                       # handled analytically, so deep extension is waste)
 _PAD = WIN + PCKT + MAX_LEN + 8
 
 
 def _encode_packet(packet: jax.Array):
-    """uint8[PCKT] -> (bytes uint8[PCKT+PCKT//8+8], nbytes, ntokens)."""
+    """uint8[PCKT] -> (bytes uint8[PCKT+PCKT//8+8], nbytes, ntokens).
+
+    Match search covers the FULL 128-byte window at every position (the
+    reference's own brute scan, `gpu_compress.cu:104-180`), not a hash
+    chain: for each distance d in 1..WIN build the equality row
+    eq[d,i] = x[i]==x[i-d], then turn rows into run lengths ("common
+    prefix starting at i") with 7 capped doubling steps.  Snapshot
+    window semantics (`gpu_decompress.cu:120` reads the pre-token ring)
+    cap a usable match at its own distance, which also makes same-byte
+    runs fall out of the generic search.
+    """
     padded = jnp.concatenate(
         [jnp.full((WIN,), 32, jnp.uint8), packet,
          jnp.zeros((_PAD - WIN - PCKT,), jnp.uint8)]
     )
     n_total = _PAD
-    idx = jnp.arange(n_total, dtype=jnp.int32)
-    p3 = padded.astype(jnp.int32)
-    key = (p3 << 16) | (jnp.roll(p3, -1) << 8) | jnp.roll(p3, -2)
-    key = jnp.where(idx < n_total - 2, key, (1 << 25) + idx)
-    skey, spos = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
-
     pos = jnp.arange(PCKT, dtype=jnp.int32) + WIN
-    best_len = jnp.zeros((PCKT,), jnp.int32)
-    best_src = jnp.zeros((PCKT,), jnp.int32)
-    # chain candidates (most recent same-3-gram predecessors)
-    cand = jnp.full((n_total, K_CHAIN), -1, jnp.int32)
-    cols = []
-    for d in range(1, K_CHAIN + 1):
-        ok = (idx >= d) & (jnp.roll(skey, d) == skey)
-        cols.append(jnp.where(ok, jnp.roll(spos, d), -1))
-    cand = cand.at[spos].set(jnp.stack(cols, axis=1))
-    # Match extension on packed 4-byte words (MSB-first, so leading
-    # equal BYTES = leading zero bytes of the XOR): one gather per word
-    # step instead of four byte gathers; the `pos + j` side is a static
-    # slice, not a gather.
-    w4 = (
-        (p3 << 24) | (jnp.roll(p3, -1) << 16)
-        | (jnp.roll(p3, -2) << 8) | jnp.roll(p3, -3)
-    ).astype(jnp.uint32)
-    for kk in range(K_CHAIN):
-        src = cand[pos, kk]
-        valid = src >= 0
-        srcc = jnp.maximum(src, 0)
-        still = valid
-        ln = jnp.zeros((PCKT,), jnp.int32)
-        for j in range(0, 4 * _EXT_WORDS, 4):
-            ws = w4[srcc + j]
-            wp = jax.lax.dynamic_slice(w4, (WIN + j,), (PCKT,))
-            t = ws ^ wp
-            leadeq = jnp.where(
-                t == 0, 4,
-                (t < (1 << 24)).astype(jnp.int32)
-                + (t < (1 << 16)).astype(jnp.int32)
-                + (t < (1 << 8)).astype(jnp.int32),
-            )
-            ln = ln + jnp.where(still, leadeq, 0)
-            still = still & (t == 0)
-        in_win = (src >= pos - WIN) & valid
-        ln = jnp.where(in_win, jnp.minimum(ln, pos - src), 0)
-        take = ln > best_len
-        best_len = jnp.where(take, ln, best_len)
-        best_src = jnp.where(take, src, best_src)
 
-    # analytic same-byte runs: if the previous d bytes equal this byte,
-    # source pos-d supports a match of min(d, run_remaining) bytes —
-    # recovers long run matches (up to 127) that the capped chain
-    # extension misses.  Scans run over the padded domain.
-    same_prev = jnp.concatenate(
-        [jnp.zeros((1,), bool), padded[1:] == padded[:-1]]
-    )
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(same_prev, -1, idx)
-    )                               # start of the current same-byte run
-    first_diff = jax.lax.associative_scan(
-        jnp.minimum,
-        jnp.where(jnp.roll(same_prev, -1), n_total, idx + 1),
-        reverse=True,
-    )                               # first position after idx that differs
-    into_run = (idx - run_start)[WIN: WIN + PCKT]
-    remaining = (first_diff - idx)[WIN: WIN + PCKT]
-    d_run = jnp.minimum(into_run, MAX_LEN)
-    run_len = jnp.minimum(jnp.minimum(d_run, remaining), MAX_LEN)
-    take = (run_len > best_len) & (d_run >= 1)
-    best_len = jnp.where(take, run_len, best_len)
-    best_src = jnp.where(take, pos - d_run, best_src)
+    # eq[d-1, i] = padded[i] == padded[i-d]  (False where i < d)
+    eq = jnp.stack([
+        jnp.concatenate([jnp.zeros((d,), bool),
+                         padded[d:] == padded[:n_total - d]])
+        for d in range(1, WIN + 1)
+    ])
+    # run length of True starting at i, capped at 128 (>= MAX_LEN):
+    # L_k = min(true_run, 2^k);  L_{k+1}[i] = L_k[i] + [L_k[i]==2^k]*L_k[i+2^k]
+    L = eq.astype(jnp.int16)
+    s = 1
+    for _ in range(7):
+        Ls = jnp.concatenate(
+            [L[:, s:], jnp.zeros((WIN, s), jnp.int16)], axis=1)
+        L = L + jnp.where(L == s, Ls, 0)
+        s *= 2
+    Lp = L[:, WIN:WIN + PCKT].astype(jnp.int32)
+    dcol = jnp.arange(1, WIN + 1, dtype=jnp.int32)[:, None]
+    Lc = jnp.minimum(Lp, jnp.minimum(dcol, MAX_LEN))
+    best_len = jnp.max(Lc, axis=0)
+    best_d = jnp.argmax(Lc, axis=0).astype(jnp.int32) + 1  # ties -> nearest
+    best_src = pos - best_d
 
     # clamp to packet remainder
     best_len = jnp.minimum(best_len, PCKT - (pos - WIN))

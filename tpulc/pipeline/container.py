@@ -40,7 +40,11 @@ import numpy as np
 from tpulc.primitives.checksum import adler32_np
 
 MAGIC = b"TPLC"
-VERSION = 2
+# v3: bsc per-block header grew a coder byte (21->22) and _cap_for
+# granularity changed 512->1024 during round 2; the bump makes streams
+# written by the older layout fail with a clear "unsupported version"
+# instead of a misleading checksum error.
+VERSION = 3
 _HEAD = struct.Struct("<4sBBHQII")  # through nblocks
 _FULL_HEAD_LEN = _HEAD.size + 8  # + data_adler + header_adler
 
