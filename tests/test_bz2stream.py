@@ -88,3 +88,24 @@ def test_highly_compressible_decompress_sizing():
     comp = bz2.compress(data, 9)
     assert len(comp) < 256  # the pathological case: ~49 bytes
     assert bzip2_codec.decompress(comp) == data
+
+
+def test_bz2_gold_crc_verification():
+    """The gold .bz2 decoder must reject corrupted streams (the
+    reference decoder verifies block + combined CRCs, decompress.c);
+    VERDICT r2 weak #9."""
+    import bz2 as pybz2
+
+    import pytest
+
+    from tpulc.gold.lzss_gold import bz2_decompress
+
+    data = _pg(60000) if "_pg" in globals() else open(
+        "tests/data/pg1661.txt", "rb").read()[:60000]
+    blob = pybz2.compress(data, 9)
+    assert bz2_decompress(blob, len(data) + 16) == data
+    for pos in (12, len(blob) // 2, len(blob) - 6):
+        bad = bytearray(blob)
+        bad[pos] ^= 0x08
+        with pytest.raises(ValueError):
+            bz2_decompress(bytes(bad), len(data) + 16)

@@ -137,48 +137,57 @@ def culzss_encode_block(block: jax.Array):
 
 
 def _decode_packet_records(pbytes, psize):
-    """Serial token walk of one packet: scatter (code, start) records.
+    """Parallel token extraction of one packet: scatter (code, start)
+    records at output byte positions.
+
+    The reference decoder walks tokens serially (`gpu_decompress.cu:169`
+    one thread per packet).  Here the walk is parallel: a flag byte's
+    VALUE alone determines its group's byte span (1 flag + 8 tokens of
+    1 or 2 bytes = 17 - popcount(flags)), so group starts are the orbit
+    of 0 under a static jump table — log2 pointer-doubling rounds — and
+    every token of every group then extracts simultaneously.
 
     Returns (rec int32[PCKT+1] packed (is_lit<<16 | b1<<8 | b0), start
     flags, out_len).
     """
     cap = PCKT + 1
+    capb = pbytes.shape[0]
+    idx = jnp.arange(capb, dtype=jnp.int32)
+    f = pbytes.astype(jnp.int32)
+    ones = jax.lax.population_count(f.astype(jnp.uint8)).astype(jnp.int32)
+    # group-start chain (positions >= psize are dead ends)
+    jump = jnp.minimum(jnp.where(idx < psize, idx + 17 - ones, capb), capb)
+    jump_e = jnp.concatenate([jump, jnp.full((1,), capb, jnp.int32)])
+    reach = jnp.zeros((capb + 1,), jnp.int32).at[0].set(1)
+    J = jump_e
+    for _ in range(14):  # ceil(log2(capb)) groups max
+        reach = reach.at[J].max(reach, mode="drop")
+        J = J[J]
+    is_grp = (reach[:capb] > 0) & (idx < psize)
 
-    def cond(st):
-        fpos, _, _, _, flags_left, _ = st
-        return (fpos < psize)
+    # per-slot token layout within each group
+    fk = jnp.stack([(f >> k) & 1 for k in range(8)], axis=1)  # [capb, 8]
+    sz = 2 - fk
+    off_excl = jnp.cumsum(sz, axis=1) - sz                    # excl prefix
+    t = idx[:, None] + 1 + off_excl                           # token starts
+    exists = is_grp[:, None] & (t + sz <= psize)
+    tc = jnp.minimum(t, capb - 2)
+    b0 = pbytes[tc].astype(jnp.int32)
+    b1 = pbytes[tc + 1].astype(jnp.int32)
+    out_b = jnp.where(exists, jnp.where(fk == 1, 1, b0), 0)
 
-    def body(st):
-        fpos, outp, rec, start, flags_left, flags = st
-        # read new flag byte when the previous group is exhausted
-        need_flag = flags_left == 0
-        flags = jnp.where(need_flag, pbytes[fpos].astype(jnp.int32), flags)
-        flags_left = jnp.where(need_flag, 8, flags_left)
-        fpos = fpos + need_flag.astype(jnp.int32)
-        ok = fpos < psize
-        is_lit = (flags & 1) == 1
-        b0 = pbytes[jnp.minimum(fpos, psize - 1)].astype(jnp.int32)
-        b1 = pbytes[jnp.minimum(fpos + 1, psize - 1)].astype(jnp.int32)
-        nbytes = jnp.where(is_lit, 1, 2)
-        ok = ok & (fpos + nbytes <= psize)
-        length = jnp.where(is_lit, 1, b0)
-        code = (is_lit.astype(jnp.int32) << 16) | (b1 << 8) | b0
-        tgt = jnp.where(ok, jnp.minimum(outp, PCKT), cap)
-        rec = rec.at[tgt].set(code, mode="drop")
-        start = start.at[tgt].set(1, mode="drop")
-        outp = outp + jnp.where(ok, length, 0)
-        fpos = jnp.where(ok, fpos + nbytes, psize)
-        flags = flags >> 1
-        flags_left = flags_left - 1
-        return fpos, outp, rec, start, flags_left, flags
+    # output byte position of each token: group-level exclusive cumsum
+    # of per-group output + within-group exclusive prefix
+    grp_out = jnp.sum(out_b, axis=1)
+    grp_out = jnp.where(is_grp, grp_out, 0)
+    grp_pre = jnp.cumsum(grp_out) - grp_out
+    outpos = grp_pre[:, None] + (jnp.cumsum(out_b, axis=1) - out_b)
 
-    fpos0 = jnp.int32(0)
-    st = (
-        fpos0, jnp.int32(0), jnp.zeros((cap + 1,), jnp.int32),
-        jnp.zeros((cap + 1,), jnp.int32), jnp.int32(0), jnp.int32(0),
-    )
-    fpos, outp, rec, start, _, _ = jax.lax.while_loop(cond, body, st)
-    return rec[:cap], start[:cap], outp
+    code = (fk << 16) | (b1 << 8) | b0
+    tgt = jnp.where(exists, jnp.minimum(outpos, PCKT), cap)
+    rec = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(code, mode="drop")
+    start = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(1, mode="drop")
+    return rec[:cap], start[:cap], jnp.sum(out_b)
 
 
 @jax.jit

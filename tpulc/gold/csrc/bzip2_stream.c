@@ -13,7 +13,28 @@
 #include <string.h>
 #include <stdlib.h>
 
-int tpulc_gold_abi_version(void) { return 2; }
+int tpulc_gold_abi_version(void) { return 3; }
+
+/* bzip2's CRC32 (poly 0x04c11db7, MSB-first, init/final 0xffffffff) —
+ * the reference decoder verifies each block CRC and the stream's
+ * combined CRC (decompress.c); table built on first use. */
+static uint32_t crc_tab[256];
+static int crc_tab_ready = 0;
+static void crc_init(void) {
+    if (crc_tab_ready) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i << 24;
+        for (int j = 0; j < 8; j++)
+            c = (c << 1) ^ ((c & 0x80000000u) ? 0x04c11db7u : 0);
+        crc_tab[i] = c;
+    }
+    crc_tab_ready = 1;
+}
+static uint32_t crc_update(uint32_t crc, const uint8_t *p, long n) {
+    for (long i = 0; i < n; i++)
+        crc = (crc << 8) ^ crc_tab[(crc >> 24) ^ p[i]];
+    return crc;
+}
 
 typedef struct {
     const uint8_t *buf;
@@ -131,7 +152,7 @@ static long decode_block_data(bzreader *r, uint8_t *block, long blockmax,
     }
 
     /* length tables */
-    static htab tabs[MAXG];
+    htab tabs[MAXG];
     for (int t = 0; t < ngroups; t++) {
         int len[MAXALPHA];
         long curr = rbits(r, 5);
@@ -204,7 +225,7 @@ static long decode_block_data(bzreader *r, uint8_t *block, long blockmax,
 /* inverse BWT (LF walk) + inverse RLE1, appending to out */
 static long unbwt_unrle(const uint8_t *block, long n, int origptr,
                         uint8_t *out, long outcap, long outpos,
-                        int32_t *tt) {
+                        int32_t *tt, uint8_t *scratch, long scratchcap) {
     long counts[256];
     memset(counts, 0, sizeof counts);
     for (long i = 0; i < n; i++) counts[block[i]]++;
@@ -219,14 +240,9 @@ static long unbwt_unrle(const uint8_t *block, long n, int origptr,
     }
     /* backward walk writes last->first; then inverse RLE1 forward */
     long p = origptr;
-    /* reconstruct RLE1'd data into a scratch region at end of `out`?
-       simpler: walk backward into a local traversal emitting forward
-       via index math: out needs RLE1 expansion, so decode to a
-       temporary order first. We reuse tt's memory is busy; walk
-       producing bytes in reverse order into out from the back is not
-       possible with RLE1 expansion — decode into a scratch buffer. */
-    static uint8_t scratch[900064];
-    if (n > (long)sizeof scratch) return -1;
+    /* out needs RLE1 expansion, so decode the BWT order into a
+       caller-provided scratch buffer first. */
+    if (n > scratchcap) return -1;
     for (long k = 0; k < n; k++) {
         scratch[n - 1 - k] = block[p];
         p = tt[p];
@@ -253,6 +269,10 @@ static long unbwt_unrle(const uint8_t *block, long n, int origptr,
     return outpos;
 }
 
+/* Decode a .bz2 stream.  Returns decoded length, or -1 (malformed),
+ * -2 (output buffer too small), -3 (block or combined CRC mismatch —
+ * the reference decoder's BZ_DATA_ERROR behavior, decompress.c).
+ * Reentrant: all block-sized state is heap-allocated per call. */
 long bz2_gold_decompress(const uint8_t *in, long n, uint8_t *out,
                          long outcap) {
     bzreader r = {in, n, 0, 0};
@@ -261,25 +281,43 @@ long bz2_gold_decompress(const uint8_t *in, long n, uint8_t *out,
     long level = rbits(&r, 8) - '0';
     if (level < 1 || level > 9) return -1;
     long blockmax = 100000 * level + 16;
-    static uint8_t block[900064];
-    static int32_t tt[900064];
+    crc_init();
+    uint8_t *block = (uint8_t *)malloc((size_t)blockmax);
+    int32_t *tt = (int32_t *)malloc((size_t)blockmax * sizeof(int32_t));
+    uint8_t *scratch = (uint8_t *)malloc((size_t)blockmax);
     long outpos = 0;
+    uint32_t combined = 0;
+    long ret = -1;
+    if (!block || !tt || !scratch) goto done;
     while (1) {
         long hi = rbits(&r, 24), lo = rbits(&r, 24);
-        if (hi < 0 || lo < 0) return -1;
+        if (hi < 0 || lo < 0) { ret = -1; goto done; }
         if (hi == 0x177245 && lo == 0x385090) {
-            rbits(&r, 32); /* combined CRC (unchecked here) */
-            return outpos;
+            long stored = rbits(&r, 32);
+            if (stored < 0 || (uint32_t)stored != combined) {
+                ret = -3; goto done;   /* combined CRC mismatch */
+            }
+            ret = outpos;
+            goto done;
         }
-        if (hi != 0x314159 || lo != 0x265359) return -1;
-        rbits(&r, 32);               /* block CRC (unchecked here) */
-        if (rbits(&r, 1) != 0) return -1;  /* randomised unsupported */
+        if (hi != 0x314159 || lo != 0x265359) { ret = -1; goto done; }
+        long stored_crc = rbits(&r, 32);
+        if (stored_crc < 0) { ret = -1; goto done; }
+        if (rbits(&r, 1) != 0) { ret = -1; goto done; } /* randomised */
         int origptr = 0;
         long nblock = decode_block_data(&r, block, blockmax, &origptr);
-        if (nblock < 0 || origptr >= nblock) return -1;
-        outpos = unbwt_unrle(block, nblock, origptr, out, outcap, outpos, tt);
-        if (outpos < 0) return outpos; /* -2 = output buffer too small */
+        if (nblock < 0 || origptr >= nblock) { ret = -1; goto done; }
+        long prev = outpos;
+        outpos = unbwt_unrle(block, nblock, origptr, out, outcap, outpos,
+                             tt, scratch, blockmax);
+        if (outpos < 0) { ret = outpos; goto done; }
+        uint32_t bcrc = ~crc_update(0xffffffffu, out + prev, outpos - prev);
+        if (bcrc != (uint32_t)stored_crc) { ret = -3; goto done; }
+        combined = ((combined << 1) | (combined >> 31)) ^ bcrc;
     }
+done:
+    free(block); free(tt); free(scratch);
+    return ret;
 }
 
 /* ---- inverse Schindler transform (ST-k) backward walk ----

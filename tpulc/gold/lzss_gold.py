@@ -81,6 +81,8 @@ def bz2_decompress(data: bytes | np.ndarray, out_cap: int) -> bytes:
     n = lib.bz2_gold_decompress(_as_buf(arr), len(arr), _as_buf(out), out_cap)
     if n == -2:
         raise BufferError("bz2 output buffer too small")
+    if n == -3:
+        raise ValueError("bz2 CRC mismatch (corrupt stream)")
     if n < 0:
         raise ValueError("invalid .bz2 stream")
     return out[:n].tobytes()
