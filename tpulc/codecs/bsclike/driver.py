@@ -118,6 +118,11 @@ FCTX_BITS = 5  # context ids < NCTX = 32; abc lane classes < 32 too
 # (`rans_adaptive.py`, the QLFC-adaptivity equivalent)
 CODER_RANS = 1
 CODER_ABC = 2
+# wrapper payload: the entropy-model segmentation detector split this
+# block into independently-coded segments (libbsc's bsc_detect_segments,
+# `filters/detectors.cpp:70-290`); header nwords field = segment count,
+# followed by u32 sub-payload sizes + concatenated sub-payloads.
+CODER_SEGMENTED = 3
 FLAG_LZP = 1
 FLAG_STORED = 2
 FLAG_CTX = 4
@@ -361,8 +366,25 @@ def _finish_block_abc(syms, m, idx0, anchors, a_ok, orig_block, n,
 def compress_block(block: np.ndarray, block_cap: int,
                    use_lzp: bool = True, sorter: str = "bwt",
                    filter_mode: str = "none",
-                   coder: int = CODER_RANS) -> bytes:
+                   coder: int = CODER_RANS, _segments=None) -> bytes:
     n = block.shape[0]
+    if filter_mode == "auto" and _segments is None:
+        from tpulc.codecs.bsclike.filters import detect_segments
+
+        _segments = detect_segments(block)
+    if _segments is not None and len(_segments) > 1:
+        subs = []
+        start = 0
+        for sl in _segments:
+            subs.append(compress_block(
+                block[start: start + sl], block_cap, use_lzp, sorter,
+                filter_mode, coder, _segments=[sl],
+            ))
+            start += sl
+        head = _HEAD.pack(n, 0, 0, 0, len(subs), 0, CODER_SEGMENTED)
+        return head + np.asarray(
+            [len(s) for s in subs], "<u4"
+        ).tobytes() + b"".join(subs)
     cap = _cap_for(block_cap)
     k_sort = _sorter_k(sorter)
     flags = _sorter_flag_bits(k_sort)
@@ -463,6 +485,20 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
     off = _HEAD.size
     if flags & FLAG_STORED:
         return np.frombuffer(payload[off: off + n], np.uint8)
+    if coder == CODER_SEGMENTED:
+        nseg = nwords
+        if nseg < 1 or nseg > 4096 or off + 4 * nseg > len(payload):
+            raise ValueError("bad segmented payload")
+        sizes = np.frombuffer(payload[off: off + 4 * nseg], "<u4")
+        off += 4 * nseg
+        if int(sizes.sum()) != len(payload) - off:
+            raise ValueError("bad segmented payload sizes")
+        parts = []
+        for sz in sizes:
+            parts.append(decompress_block(payload[off: off + int(sz)],
+                                          block_cap))
+            off += int(sz)
+        return np.concatenate(parts)
     if coder == CODER_RANS:
         assert flags & FLAG_CTX, "pre-context bsc streams not supported"
     filt = FILTER_NONE
@@ -633,6 +669,29 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
     aw = max(1, int(cap - 1).bit_length())
     starts = list(range(0, max(n_total, 1), block_size))
     B = len(starts)
+
+    if filter_mode == "auto":
+        # entropy-model segmentation (detectors.cpp role): blocks that
+        # split route through the per-block path as segmented payloads;
+        # homogeneous inputs fall through to the batched pipeline.
+        from tpulc.codecs.bsclike.filters import detect_segments
+
+        seg_lists = [detect_segments(arr[s: s + block_size])
+                     for s in starts]
+        if any(len(sl) > 1 for sl in seg_lists):
+            payloads = [
+                compress_block(arr[s: s + block_size], block_size,
+                               use_lzp, sorter, filter_mode, coder,
+                               _segments=sl)
+                for s, sl in zip(starts, seg_lists)
+            ]
+            c = Container(
+                codec_id=CODEC_BSC, flags=0, orig_len=n_total,
+                block_size=block_size,
+                comp_sizes=[len(p) for p in payloads],
+                payloads=payloads, data_adler=adler32_np(arr),
+            )
+            return c.to_bytes()
 
     # LZP runs in worker threads (ctypes drops the GIL) — the TPU shape
     # of the reference's OpenMP-parallel LZP (`lzp.cpp:244,323`).  All
@@ -857,6 +916,9 @@ def decompress(buf: bytes) -> bytes:
                 p[off: off + n], np.uint8
             )))
             continue
+        if coder == CODER_SEGMENTED:
+            parsed.append(("seg", p))
+            continue
         if coder == CODER_RANS:
             assert flags & FLAG_CTX
         filt = FILTER_NONE
@@ -1046,6 +1108,8 @@ def decompress(buf: bytes) -> bytes:
     for i, pr in enumerate(parsed):
         if pr[0] == "stored":
             outs[i] = pr[1]
+        elif pr[0] == "seg":
+            outs[i] = decompress_block(pr[1], c.block_size)
     out = b"".join(x.tobytes() for x in outs)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")

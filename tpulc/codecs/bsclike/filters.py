@@ -103,3 +103,92 @@ def detect_record_size(block: np.ndarray, max_size: int = 32,
     if best_s > max(margin * base, floor):
         return best_n
     return 0
+
+
+# --- entropy-model segmentation (bsc_detect_segments,
+#     `cuda-bsc/libbsc/filters/detectors.cpp:70-290`) ---
+
+SEG_MIN_BLOCK = 24576          # DETECTORS_BLOCK_SIZE
+_SEG_SCALE = 65536.0           # reference entropy units: 65536 = 1 bit
+
+
+def _seg_entropy(f: np.ndarray) -> np.ndarray:
+    """bsc_entropy: f * log2(f) in 65536-per-bit units (E(0)=0)."""
+    f = f.astype(np.float64)
+    out = np.zeros_like(f)
+    nz = f > 0
+    out[nz] = f[nz] * np.log2(f[nz]) * _SEG_SCALE
+    return out
+
+
+def _seg_delta(f: np.ndarray) -> np.ndarray:
+    """bsc_delta: E(f+1) - E(f)."""
+    return _seg_entropy(f + 1) - _seg_entropy(f)
+
+
+def _cumcount(keys: np.ndarray) -> np.ndarray:
+    """Occurrence index of each element among equal keys seen before it
+    (vectorized groupby-cumcount)."""
+    n = keys.shape[0]
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    k_sorted = np.arange(n) - np.repeat(starts, counts)
+    out = np.empty(n, np.int64)
+    out[order] = k_sorted
+    return out
+
+
+def detect_split_point(block: np.ndarray) -> int:
+    """One split point per `bsc_detect_segments_serial`
+    (`detectors.cpp:70-119`): order-2 hashed-context adaptive entropy
+    model; returns i < n if coding [0,i) and [i,n) separately saves
+    more than n_entropy/32 + 12KB-equivalent model bits, else n.
+
+    The reference's context recurrence c' = ((c << 5) ^ s) & 0xFF
+    forgets everything beyond two symbols (c << 10 ≡ 0 mod 256), so the
+    context at i is exactly ((s[i-2] << 5) ^ s[i-1]) & 0xFF — which
+    makes the whole sequential counter scan vectorizable as two
+    groupby-cumcounts plus a prefix sum.
+    """
+    x = np.asarray(block, np.uint8).astype(np.int64)
+    n = x.shape[0]
+    if n < SEG_MIN_BLOCK:
+        return n
+    ctx = np.zeros(n, np.int64)
+    if n > 1:
+        ctx[1] = x[0] & 0xFF
+    ctx[2:] = ((x[:-2] << 5) ^ x[1:-1]) & 0xFF
+    pair = ctx * 256 + x
+
+    r_tot = np.bincount(pair, minlength=65536)
+    c_tot = np.bincount(ctx, minlength=256)
+    entropy = _seg_entropy(c_tot).sum() - _seg_entropy(r_tot).sum()
+
+    k = _cumcount(pair)                     # pair occurrences before i
+    m = _cumcount(ctx)                      # context occurrences before i
+    d = (
+        _seg_delta(r_tot[pair] - k - 1)     # right freq f -> f-1
+        - _seg_delta(k)                     # left freq k -> k+1
+        - _seg_delta(c_tot[ctx] - m - 1)    # right count
+        + _seg_delta(m)                     # left count
+    )
+    local = entropy + np.r_[0.0, np.cumsum(d)[:-1]]
+    best0 = entropy - entropy / 32.0 - _SEG_SCALE * 12 * 1024
+    i = int(np.argmin(local))
+    return i if local[i] < best0 else n
+
+
+def detect_segments(block: np.ndarray, max_segments: int = 256) -> list[int]:
+    """Recursive segmentation (`bsc_detect_segments_recursive`,
+    `detectors.cpp:250-288`): returns segment lengths summing to n."""
+    n = len(block)
+    if n < SEG_MIN_BLOCK or max_segments == 1:
+        return [n]
+    split = detect_split_point(block)
+    if split == n or split == 0:
+        return [n]
+    left = detect_segments(block[:split], max_segments - 1)
+    right = detect_segments(block[split:], max_segments - len(left))
+    return left + right

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpulc.primitives.parallel import orbit_flags
+
 PCKT = 4096
 WIN = 128
 MAX_LEN = 127          # length byte; reference clamps to MAX_CODED-1
@@ -79,15 +81,10 @@ def _encode_packet(packet: jax.Array):
     is_match = best_len >= MIN_MATCH
     step = jnp.where(is_match, best_len, 1)
 
-    # greedy parse (orbit of 0)
+    # greedy parse (orbit of 0, gather-only path doubling)
     jump = jnp.minimum(jnp.arange(PCKT, dtype=jnp.int32) + step, PCKT)
     jump_e = jnp.concatenate([jump, jnp.full((1,), PCKT, jnp.int32)])
-    reach = jnp.zeros((PCKT + 1,), jnp.int32).at[0].set(1)
-    J = jump_e
-    for _ in range(12):
-        reach = reach.at[J].max(reach, mode="drop")
-        J = J[J]
-    is_start = reach[:PCKT] > 0
+    is_start = orbit_flags(jump_e, PCKT, PCKT)
 
     # byte layout
     tok_bytes = jnp.where(is_start, jnp.where(is_match, 2, 1), 0)
@@ -155,15 +152,11 @@ def _decode_packet_records(pbytes, psize):
     idx = jnp.arange(capb, dtype=jnp.int32)
     f = pbytes.astype(jnp.int32)
     ones = jax.lax.population_count(f.astype(jnp.uint8)).astype(jnp.int32)
-    # group-start chain (positions >= psize are dead ends)
+    # group-start chain (positions >= psize are dead ends); groups span
+    # at least 9 bytes, so the orbit has at most capb//9 + 1 entries
     jump = jnp.minimum(jnp.where(idx < psize, idx + 17 - ones, capb), capb)
     jump_e = jnp.concatenate([jump, jnp.full((1,), capb, jnp.int32)])
-    reach = jnp.zeros((capb + 1,), jnp.int32).at[0].set(1)
-    J = jump_e
-    for _ in range(14):  # ceil(log2(capb)) groups max
-        reach = reach.at[J].max(reach, mode="drop")
-        J = J[J]
-    is_grp = (reach[:capb] > 0) & (idx < psize)
+    is_grp = orbit_flags(jump_e, capb, capb // 9 + 2) & (idx < psize)
 
     # per-slot token layout within each group
     fk = jnp.stack([(f >> k) & 1 for k in range(8)], axis=1)  # [capb, 8]

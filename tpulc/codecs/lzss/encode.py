@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from tpulc.primitives.bits import pack_bits
+from tpulc.primitives.parallel import orbit_flags
 
 WINDOW = 4096
 MAX_CODED = 18
@@ -231,16 +232,11 @@ def lzss_encode_device(data: jax.Array, k_cand: int, out_words: int,
     is_match = best_len > MAX_UNCODED
     step = jnp.where(is_match, best_len, 1)
 
-    # Greedy parse: orbit of 0 under p -> p + step[p].
+    # Greedy parse: orbit of 0 under p -> p + step[p] (gather-only
+    # path-doubling enumeration, primitives.parallel.orbit_flags).
     jump = jnp.minimum(jnp.arange(n, dtype=jnp.int32) + step, n)
-    reach = jnp.zeros((n + 1,), jnp.int32).at[0].set(1)
     jump_e = jnp.concatenate([jump, jnp.full((1,), n, jnp.int32)])
-    rounds = max(1, n.bit_length() if isinstance(n, int) else 32)
-    J = jump_e
-    for _ in range(rounds):
-        reach = reach.at[jnp.where(reach > 0, J, n)].max(reach, mode="drop")
-        J = J[J]
-    is_start = reach[:n] > 0
+    is_start = orbit_flags(jump_e, n, n)
 
     # Token codes in the reference bit layout.
     off_ring = best_src % WINDOW

@@ -158,3 +158,36 @@ def listrank(next_idx, head):
     d = st[:, 1]
     total = d[head]
     return (total - d) % jnp.maximum(total, 1)
+
+
+def orbit_flags(jump_e, n: int, t_max: int):
+    """Membership flags of the orbit of 0 under a jump table.
+
+    jump_e: int32[n+1] with every entry in (i, n] for i < n and
+    jump_e[n] == n (absorbing end).  Returns bool[n]: True where the
+    chain 0 -> jump_e[0] -> ... lands.  `t_max` bounds the orbit length
+    (<= n; callers pass n / min_step).
+
+    TPU design note: this replaces scatter-max pointer-doubling
+    reachability (log2(n) batched scatters — slow on TPU) with orbit
+    ENUMERATION by gather-only path doubling: after round k the table F
+    jumps 2^k steps and positions P[0:2^k] are final, so
+    P[2^k:2^{k+1}] = F[P[0:2^k]] — log2(t_max) gathers plus exactly one
+    final scatter of the landing set.  This is the greedy-parse /
+    group-chain workhorse of the LZ codecs.
+    """
+    T = 1
+    while T < t_max:
+        T *= 2
+    P = jnp.full((T,), n, jnp.int32).at[0].set(0)
+    F = jump_e
+    step = 1
+    while step < T:
+        P = jax.lax.dynamic_update_slice(P, F[P[:step]], (step,))
+        if step * 2 < T:
+            F = F[F]
+        step *= 2
+    flags = jnp.zeros((n + 1,), bool).at[jnp.minimum(P, n)].set(
+        True, mode="drop"
+    )
+    return flags[:n]
