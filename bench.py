@@ -75,6 +75,52 @@ def make_soup(size: int = SIZE) -> bytes:
     return b"".join(parts)[:size]
 
 
+def bench_huffman_decode_100mb(size: int = 100_000_000):
+    """CUHD's headline setup (`/root/reference/README.md:107-117`:
+    100 MB decoded in 1,520 us on a V100 == 66 GB/s): decode-only GB/s
+    of the aligned batched rank decoder, device-resident, kernel time
+    via block_until_ready.  Returns a dict with the honest number and
+    its roofline position."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpulc.codecs.huffman import driver as hd
+
+    data = make_corpus(size)
+    bs = 1 << 20
+    comp = hd.compress(data, block_size=bs)
+    # correctness: full round trip through the container path
+    out = hd.decompress(comp)
+    assert out == data, "huffman 100MB round-trip mismatch"
+    from tpulc.pipeline.container import Container
+
+    c = Container.from_bytes(comp)
+    groups = [c.payloads[i: i + hd.MAX_BATCH]
+              for i in range(0, len(c.payloads), hd.MAX_BATCH)]
+    preps = []
+    for g in groups:
+        words_a, tbits_a, lens_a, offs_a, ns = hd._parse_aligned_group(
+            g, bs, 12)
+        preps.append((jnp.asarray(words_a), jnp.asarray(tbits_a),
+                      jnp.asarray(lens_a), jnp.asarray(offs_a)))
+    # warm
+    for p in preps:
+        hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12).block_until_ready()
+    t0 = time.perf_counter()
+    outs = [hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12) for p in preps]
+    for o in outs:
+        o.block_until_ready()
+    t1 = time.perf_counter()
+    dec_s = t1 - t0
+    return {
+        "input_MB": round(size / 1e6, 1),
+        "compressed_MB": round(len(comp) / 1e6, 1),
+        "decode_kernel_s": round(dec_s, 4),
+        "decode_GBps": round(size / 1e9 / dec_s, 3),
+        "vs_cuhd_v100_66GBps": round(size / 1e9 / dec_s / 66.0, 4),
+    }
+
+
 def bench_roundtrip(codec_name: str, data: bytes, block_size: int, **kw):
     from tpulc.pipeline.registry import get_codec
 
@@ -129,6 +175,14 @@ def main():
             }
         except Exception as e:  # pragma: no cover - diagnostics only
             detail[key] = {"error": str(e)[:80]}
+    # CUHD-class decode throughput (BASELINE.md row 16): decode-only
+    # GB/s on a 100 MB input, kernel time.  Skippable via
+    # TPULC_BENCH_NO_HUFF100 if the round budget is tight.
+    if not os.environ.get("TPULC_BENCH_NO_HUFF100"):
+        try:
+            detail["huffman_decode_100MB"] = bench_huffman_decode_100mb()
+        except Exception as e:  # pragma: no cover - diagnostics only
+            detail["huffman_decode_100MB"] = {"error": str(e)[:120]}
     # TPULC_BENCH_FULL=1 adds the rest of the per-codec matrix on both
     # corpora; the headline metric/line stays identical.
     if os.environ.get("TPULC_BENCH_FULL"):

