@@ -100,12 +100,53 @@ def compress(data: bytes | np.ndarray, block_size: int = 1 << 20) -> bytes:
 
 
 def decompress(buf: bytes) -> bytes:
+    """All blocks' packets decode in ONE device call (the packet-lane
+    decode is latency-bound; total packet count buckets to a power of
+    two so the whole corpus shares one compiled program)."""
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_LZSS_CULZSS
+    cap_out = PCKT + PCKT // 8 + 8
+    allp = []
+    for payload in c.payloads:
+        (P,) = struct.unpack("<I", payload[:4])
+        sizes = np.frombuffer(payload[4: 4 + 2 * P], "<u2")
+        off = 4 + 2 * P
+        pbuf = np.zeros((P, cap_out), np.uint8)
+        psizes = np.zeros(P, np.int32)
+        raw = {}
+        for j in range(P):
+            s = int(sizes[j])
+            if s & RAW_FLAG:
+                s &= 0x7FFF
+                raw[j] = np.frombuffer(payload[off: off + s], np.uint8)
+            else:
+                pbuf[j, :s] = np.frombuffer(payload[off: off + s],
+                                            np.uint8)
+                psizes[j] = s
+            off += s & 0x7FFF
+        allp.append((P, pbuf, psizes, raw))
+    Ptot = sum(p[0] for p in allp)
+    Ppad = 1 << max(1, (Ptot - 1).bit_length())
+    pbuf_all = np.zeros((Ppad, cap_out), np.uint8)
+    psz_all = np.zeros(Ppad, np.int32)
+    o = 0
+    for P, pbuf, psizes, _ in allp:
+        pbuf_all[o: o + P] = pbuf
+        psz_all[o: o + P] = psizes
+        o += P
+    blocks, _ = culzss_decode_block(
+        jnp.asarray(pbuf_all), jnp.asarray(psz_all)
+    )
+    blocks = np.array(blocks)
+    o = 0
     parts = []
-    for info, payload in zip(c.block_infos(), c.payloads):
+    for info, (P, _, _, raw) in zip(c.block_infos(), allp):
+        blk = blocks[o: o + P]
+        for j, data in raw.items():
+            blk[j] = data
         cap = -(-c.block_size // PCKT) * PCKT
-        parts.append(decompress_block(payload, min(info.raw_size, cap), cap))
+        parts.append(blk.reshape(-1)[: min(info.raw_size, cap)])
+        o += P
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")

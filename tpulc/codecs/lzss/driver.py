@@ -116,12 +116,42 @@ def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
     return c.to_bytes()
 
 
+def _decode_batch(words, total_bits, n_out: int):
+    """All blocks in ONE program: the decode while-loops are latency-
+    bound (tiny per-iteration work), so vmapping B blocks costs the
+    same wall time as one."""
+    import jax
+
+    from functools import partial as _partial
+
+    fn = _partial(lzss_decode_device, n_out=n_out)
+    return jax.vmap(lambda w, t: fn(w, t))(words, total_bits)
+
+
 def decompress(buf: bytes) -> bytes:
     c = Container.from_bytes(buf)
     assert c.codec_id == CODEC_LZSS
+    infos = list(c.block_infos())
+    B = len(infos)
+    wcap = _round_up(c.block_size * 9 + 64, 32) // 32
+    W = np.zeros((B, wcap), np.uint32)
+    tbs = np.zeros(B, np.int32)
+    for j, payload in enumerate(c.payloads):
+        nw = -(-len(payload) // 4)
+        pbuf = payload + b"\x00" * (4 * nw - len(payload))
+        words = np.frombuffer(pbuf, ">u4").astype(np.uint32)
+        W[j, : len(words)] = words
+        tbs[j] = len(payload) * 8
+    outs, n_valids = _decode_batch(
+        jnp.asarray(W), jnp.asarray(tbs), c.block_size
+    )
+    outs_np = np.asarray(outs)
+    n_valids = np.asarray(n_valids)
     parts = []
-    for info, payload in zip(c.block_infos(), c.payloads):
-        parts.append(decompress_block(payload, info.raw_size, c.block_size))
+    for j, info in enumerate(infos):
+        assert int(n_valids[j]) >= info.raw_size, (
+            int(n_valids[j]), info.raw_size)
+        parts.append(outs_np[j, : info.raw_size])
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")
