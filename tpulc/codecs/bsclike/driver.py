@@ -118,6 +118,10 @@ FCTX_BITS = 5  # context ids < NCTX = 32; abc lane classes < 32 too
 # (`rans_adaptive.py`, the QLFC-adaptivity equivalent)
 CODER_RANS = 1
 CODER_ABC = 2
+# group-rank coder (grc.py): QLFC-class (rank, run) group decomposition
+# over the raw MTF stream — replaces CODER_ABC for new -e2 streams on
+# the BWT sorter (ST modes keep ABC: their transform emits RLE2 syms).
+CODER_GRC = 4
 # wrapper payload: the entropy-model segmentation detector split this
 # block into independently-coded segments (libbsc's bsc_detect_segments,
 # `filters/detectors.cpp:70-290`); header nwords field = segment count,
@@ -310,6 +314,75 @@ def _decode_stage_anchored(syms, m, n, idx0, anchors):
                                    ANCHOR_STRIDE)
 
 
+@jax.jit
+def _decode_stage_ranks_anchored(ranks, n, idx0, anchors):
+    from tpulc.codecs.bwt.masked import inverse_ranks_anchored
+
+    return inverse_ranks_anchored(ranks, n, idx0, anchors,
+                                  ANCHOR_STRIDE)
+
+
+@jax.jit
+def _decode_stage_ranks(ranks, n, idx0):
+    from tpulc.codecs.bwt.masked import bwt_decode_masked
+    from tpulc.primitives.mtf import mtf_decode
+
+    last = mtf_decode(ranks.astype(jnp.uint8))
+    return bwt_decode_masked(last, n, idx0)
+
+
+def _finish_block_grc(ranks, idx0, anchors, a_ok, orig_block, n,
+                      m_lzp, cap, flags, fb) -> bytes:
+    """Entropy stage + payload assembly for the group-rank coder
+    (grc.py) — the `-e2` best-ratio path."""
+    from tpulc.codecs.bsclike import grc as G
+
+    with timing.stage("bsc.rans"):
+        ranks_np = np.asarray(ranks)
+        ones, tot, cones, ctot, maxbits = G.stats_host(
+            ranks_np, int(m_lzp))
+        inits = G.quantize_inits(ones, tot)
+        cinits = G.quantize_inits(cones, ctot)
+        W = bucket_bits(max(maxbits, 1))
+        words, counts, states = G.grc_encode(
+            jnp.asarray(ranks_np), jnp.int32(m_lzp),
+            jnp.asarray(inits), jnp.asarray(cinits), W)
+        used = max(1, -(-int(m_lzp) // G.GCHUNK))
+        counts_np = np.asarray(counts[:used])
+        states_np = np.asarray(states[:used]).astype("<u4")
+        words_np = np.asarray(words[:used])
+    nwords = int(counts_np.sum())
+    inits_b = G.pack_inits(inits, tot)
+    r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))
+    aw = max(1, int(cap - 1).bit_length())
+    body_size = _HEAD.size + len(inits_b) + 2 * G.NFAM + 8 + 6 * used \
+        + 2 * nwords + (-(-r_used * aw // 8) if bool(a_ok) else 0)
+    if body_size >= n:
+        return _HEAD.pack(n, n, 0, 0, 0, FLAG_STORED, CODER_GRC) \
+            + orig_block.tobytes()
+    lane_valid = (
+        np.arange(words_np.shape[1])[None, :] < counts_np[:, None]
+    )
+    flat = words_np[lane_valid].astype("<u2")
+    anchors_np = None
+    if bool(a_ok):
+        flags |= FLAG_ANCHORS
+        anchors_np = np.asarray(anchors[:r_used]).astype(np.uint32)
+    payload = _HEAD.pack(n, m_lzp, m_lzp, int(idx0), nwords, flags,
+                         CODER_GRC)
+    if flags & FLAG_FILTER:
+        payload += bytes([fb])
+    if anchors_np is not None:
+        payload += _pack_bits_np(anchors_np, aw)
+    payload += inits_b
+    payload += cinits.astype("<u2").tobytes()
+    payload += struct.pack("<II", int(maxbits), used)
+    payload += counts_np.astype("<u2").tobytes()
+    payload += states_np.tobytes()
+    payload += flat.tobytes()
+    return payload
+
+
 def _finish_block_abc(syms, m, idx0, anchors, a_ok, orig_block, n,
                       m_lzp, cap, flags, fb) -> bytes:
     """Entropy stage + payload assembly for the adaptive binary coder
@@ -404,6 +477,17 @@ def compress_block(block: np.ndarray, block_cap: int,
     tcap = _tcap_for(m_lzp, cap)
     padded = np.zeros(tcap, np.uint8)
     padded[:m_lzp] = stage
+    if coder == CODER_ABC and not k_sort:
+        coder = CODER_GRC      # new -e2 streams use the group coder
+    if coder == CODER_GRC:
+        from tpulc.codecs.bwt.masked import forward_ranks_anchored
+
+        with timing.stage("bsc.transform"):
+            ranks, idx0, anchors, a_ok = forward_ranks_anchored(
+                jnp.asarray(padded), jnp.int32(m_lzp), ANCHOR_STRIDE
+            )
+        return _finish_block_grc(ranks, idx0, anchors, a_ok,
+                                 orig_block, n, m_lzp, cap, flags, fb)
     with timing.stage("bsc.transform"):
         if k_sort:
             syms, ctx, meta = _fwd_packed_st(
@@ -515,6 +599,53 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         off += nb
     cap = _cap_for(block_cap)
     dcap = _tcap_for(max(m, m_lzp), cap)
+    if coder == CODER_GRC:
+        from tpulc.codecs.bsclike import grc as G
+
+        inits, off = G.unpack_inits(payload, off)
+        cinits = np.frombuffer(payload[off: off + 2 * G.NFAM], "<u2")
+        off += 2 * G.NFAM
+        maxbits, nlanes = struct.unpack("<II", payload[off: off + 8])
+        off += 8
+        counts = np.frombuffer(
+            payload[off: off + 2 * nlanes], "<u2").astype(np.int32)
+        off += 2 * nlanes
+        states = np.frombuffer(payload[off: off + 4 * nlanes], "<u4")
+        off += 4 * nlanes
+        flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
+        lcap_g = max(1, dcap // G.GCHUNK)
+        Wc = bucket_bits(int(counts.max(initial=0)) + 2, lo=64)
+        words_p = np.zeros((lcap_g, Wc), np.uint16)
+        lane_valid = np.arange(Wc)[None, :] < counts[:, None]
+        words_p[:nlanes][lane_valid] = flat
+        states_p = np.full(lcap_g, 1 << 16, np.uint32)
+        states_p[:nlanes] = states
+        counts_p = np.zeros(lcap_g, np.int32)
+        counts_p[:nlanes] = counts
+        with timing.stage("bsc.rans.decode"):
+            ranks = G.grc_decode(
+                jnp.asarray(words_p), jnp.asarray(counts_p),
+                jnp.asarray(states_p), jnp.int32(m_lzp),
+                jnp.asarray(inits), jnp.asarray(cinits),
+                jnp.int32(maxbits), dcap,
+            )
+        if anchors is not None:
+            r_cap = -(-dcap // ANCHOR_STRIDE)
+            anch_p = np.full(r_cap, idx0, np.int32)
+            anch_p[: anchors.shape[0]] = anchors
+            stage = _decode_stage_ranks_anchored(
+                ranks, jnp.int32(m_lzp), jnp.int32(idx0),
+                jnp.asarray(anch_p),
+            )
+        else:
+            stage = _decode_stage_ranks(ranks, jnp.int32(m_lzp),
+                                        jnp.int32(idx0))
+        stage = np.asarray(stage[:m_lzp])
+        if flags & FLAG_LZP:
+            out = np.frombuffer(lzp_decode(stage, n), np.uint8)
+        else:
+            out = stage[:n]
+        return invert_filter_np(out, filt)
     if coder == CODER_ABC:
         inits = np.frombuffer(
             payload[off: off + 2 * NMODELS], "<u2"
@@ -692,6 +823,22 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
                 payloads=payloads, data_adler=adler32_np(arr),
             )
             return c.to_bytes()
+
+    if coder == CODER_ABC and k_sort == 0:
+        # group-rank coder (-e2 on the BWT sorter) rides the per-block
+        # path; blocks at the default 25 MB mean B is small
+        payloads = [
+            compress_block(arr[s: s + block_size], block_size,
+                           use_lzp, sorter, filter_mode, coder)
+            for s in starts
+        ]
+        c = Container(
+            codec_id=CODEC_BSC, flags=0, orig_len=n_total,
+            block_size=block_size,
+            comp_sizes=[len(p) for p in payloads],
+            payloads=payloads, data_adler=adler32_np(arr),
+        )
+        return c.to_bytes()
 
     # LZP runs in worker threads (ctypes drops the GIL) — the TPU shape
     # of the reference's OpenMP-parallel LZP (`lzp.cpp:244,323`).  All
@@ -916,7 +1063,7 @@ def decompress(buf: bytes) -> bytes:
                 p[off: off + n], np.uint8
             )))
             continue
-        if coder == CODER_SEGMENTED:
+        if coder in (CODER_SEGMENTED, CODER_GRC):
             parsed.append(("seg", p))
             continue
         if coder == CODER_RANS:

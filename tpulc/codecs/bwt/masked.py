@@ -342,3 +342,30 @@ def inverse_masked_anchored(syms: jax.Array, m: jax.Array, n: jax.Array,
     last = mtf_decode(ranks)
     return bwt_decode_masked_anchored(last, n, idx0, anchors,
                                       anchor_stride)
+
+
+@partial(jax.jit, static_argnames=("anchor_stride",))
+def forward_ranks_anchored(block: jax.Array, n: jax.Array,
+                           anchor_stride: int = ANCHOR_STRIDE):
+    """BWT + MTF WITHOUT the RLE2 stage: the group-rank coder
+    (`bsclike/grc.py`) codes (rank, run) groups directly from the MTF
+    stream (libbsc's QLFC decomposition, `qlfc.cpp:448-752`).
+    Returns (ranks int32[cap] — 0 past n, idx0, anchors, ok)."""
+    cap = block.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    last, idx0, anchors, ok = bwt_encode_masked_anchored(
+        block, n, anchor_stride
+    )
+    ranks = mtf_encode(last).astype(jnp.int32)
+    ranks = jnp.where(idx < n, ranks, 0)
+    return ranks, idx0, anchors, ok
+
+
+@partial(jax.jit, static_argnames=("anchor_stride",))
+def inverse_ranks_anchored(ranks: jax.Array, n: jax.Array,
+                           idx0: jax.Array, anchors: jax.Array,
+                           anchor_stride: int = ANCHOR_STRIDE):
+    """Anchored inverse from the MTF rank stream (no RLE2)."""
+    last = mtf_decode(ranks.astype(jnp.uint8))
+    return bwt_decode_masked_anchored(last, n, idx0, anchors,
+                                      anchor_stride)
