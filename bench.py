@@ -186,6 +186,19 @@ def main():
     # TPULC_BENCH_FULL=1 adds the rest of the per-codec matrix on both
     # corpora; the headline metric/line stays identical.
     if os.environ.get("TPULC_BENCH_FULL"):
+        # 100 MB scaling row (VERDICT r2 missing #4): compile-once /
+        # stream-many regime where per-dispatch overhead amortizes.
+        try:
+            big = make_corpus(100_000_000)
+            r100 = bench_roundtrip("bz", big, block_size=900_000)
+            detail["bz_100MB"] = {
+                "MBps": round(r100["roundtrip_mbps"], 3),
+                "ratio": round(r100["ratio"], 3),
+                "compress_s": round(r100["compress_s"], 2),
+                "decompress_s": round(r100["decompress_s"], 2),
+            }
+        except Exception as e:  # pragma: no cover
+            detail["bz_100MB"] = {"error": str(e)[:100]}
         corpora = {"pg": data, "soup": make_soup(SIZE)}
         matrix = {}
         for cname, cdata in corpora.items():

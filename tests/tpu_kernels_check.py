@@ -81,6 +81,24 @@ def main() -> int:
     assert out_pallas == data, "Pallas decode roundtrip mismatch"
     assert out_xla == data, "XLA decode roundtrip mismatch"
     print("pallas_decode vs XLA twin: OK", flush=True)
+
+    # --- 3. production-shape round trips on chip (VERDICT r2 weak #10:
+    # full-cap paths must not be validated only by the bench) ----------
+    with open(os.path.join(here, "data", "pg1661.txt"), "rb") as f:
+        big = f.read()
+    big = (big * 8)[: 4 << 20]                   # 4 MiB corpus slice
+    bz_data = big[:900_000]                      # one full bz block
+    comp = bz.compress(bz_data, block_size=900_000)
+    assert bz.decompress(comp) == bz_data, "900KB bz block mismatch"
+    print(f"bz 900KB full block: OK ({len(comp)} B)", flush=True)
+
+    from tpulc.codecs.bsclike import driver as bsc
+
+    for coder in (1, 2):
+        compb = bsc.compress(big, block_size=4 << 20, coder=coder)
+        assert bsc.decompress(compb) == big, f"4MB bsc -e{coder} mismatch"
+        print(f"bsc 4MiB block -e{coder}: OK ({len(compb)} B)",
+              flush=True)
     print("TPU-KERNELS-OK")
     return 0
 

@@ -18,7 +18,11 @@ from tpulc.pipeline.container import Container
 from tpulc.pipeline.registry import CODEC_LZSS
 from tpulc.primitives.checksum import adler32_np
 
-K_CANDIDATES = 32
+# 16 exact-3-gram chains + 8 7-gram chains: ratio 1.9102 vs 1.9162 at
+# k=32 on the bench corpus, at ~1.9x the encode speed (the candidate
+# match extension is gather-bound at ~120 M elem/s on the v5e; each
+# candidate costs 5 full-width gathers)
+K_CANDIDATES = 16
 
 
 def _round_up(x: int, m: int) -> int:
