@@ -237,3 +237,23 @@ def test_sort_strings_full_matches_python():
     ))
     got = [words[i] for i in order]
     assert got == sorted(words)
+
+
+def test_orbit_flags():
+    """Gather-only orbit enumeration vs a Python reference walk."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpulc.primitives.parallel import orbit_flags
+
+    rng = np.random.default_rng(5)
+    n = 500
+    jump = np.minimum(np.arange(n) + rng.integers(1, 9, n), n)
+    jump_e = np.append(jump, n).astype(np.int32)
+    got = np.asarray(orbit_flags(jnp.asarray(jump_e), n, n))
+    ref = np.zeros(n, bool)
+    p = 0
+    while p < n:
+        ref[p] = True
+        p = int(jump_e[p])
+    assert np.array_equal(got, ref)
