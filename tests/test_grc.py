@@ -32,15 +32,14 @@ def test_core_roundtrip(name, kw):
     cap, m = 4096, 3777
     ranks = _mk_ranks(cap, seed=hash(name) % 1000, **kw)
     ranks[m:] = 0
-    ones, tot, cones, ctot, maxbits = grc.stats_host(ranks, m)
-    inits = grc.quantize_inits(ones, tot)
-    cinits = grc.quantize_inits(cones, ctot)
+    maxbits = int(np.asarray(
+        grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))).max())
     W = grc_bucket(maxbits)
-    words, counts, states = grc.grc_encode(
-        jnp.asarray(ranks), jnp.int32(m), jnp.asarray(inits),
-        jnp.asarray(cinits), W)
+    words, counts, states, inits, cinits, tot = grc.grc_encode(
+        jnp.asarray(ranks), jnp.int32(m), W)
     dec = grc.grc_decode(words, counts, states, jnp.int32(m),
-                         jnp.asarray(inits), jnp.asarray(cinits),
+                         jnp.asarray(np.asarray(inits)),
+                         jnp.asarray(np.asarray(cinits)),
                          jnp.int32(maxbits), cap)
     assert np.array_equal(np.asarray(dec)[:m], ranks[:m]), name
 
@@ -71,14 +70,13 @@ def test_extreme_streams():
         ("alternate", np.where(np.arange(cap) % 2 == 0, 1, 2)),
     ]:
         m = cap
-        ones, tot, cones, ctot, maxbits = grc.stats_host(ranks, m)
-        inits = grc.quantize_inits(ones, tot)
-        cinits = grc.quantize_inits(cones, ctot)
-        words, counts, states = grc.grc_encode(
-            jnp.asarray(ranks), jnp.int32(m), jnp.asarray(inits),
-            jnp.asarray(cinits), grc_bucket(maxbits))
+        maxbits = int(np.asarray(
+            grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))).max())
+        words, counts, states, inits, cinits, tot = grc.grc_encode(
+            jnp.asarray(ranks), jnp.int32(m), grc_bucket(maxbits))
         dec = grc.grc_decode(words, counts, states, jnp.int32(m),
-                             jnp.asarray(inits), jnp.asarray(cinits),
+                             jnp.asarray(np.asarray(inits)),
+                             jnp.asarray(np.asarray(cinits)),
                              jnp.int32(maxbits), cap)
         assert np.array_equal(np.asarray(dec)[:m], ranks[:m]), name
 

@@ -338,19 +338,18 @@ def _finish_block_grc(ranks, idx0, anchors, a_ok, orig_block, n,
     from tpulc.codecs.bsclike import grc as G
 
     with timing.stage("bsc.rans"):
-        ranks_np = np.asarray(ranks)
-        ones, tot, cones, ctot, maxbits = G.stats_host(
-            ranks_np, int(m_lzp))
-        inits = G.quantize_inits(ones, tot)
-        cinits = G.quantize_inits(cones, ctot)
+        lane_bits = np.asarray(G.grc_lane_bits(ranks, jnp.int32(m_lzp)))
+        maxbits = int(lane_bits.max()) if lane_bits.size else 0
         W = bucket_bits(max(maxbits, 1))
-        words, counts, states = G.grc_encode(
-            jnp.asarray(ranks_np), jnp.int32(m_lzp),
-            jnp.asarray(inits), jnp.asarray(cinits), W)
+        words, counts, states, inits_d, cinits_d, tot_d = G.grc_encode(
+            ranks, jnp.int32(m_lzp), W)
         used = max(1, -(-int(m_lzp) // G.GCHUNK))
         counts_np = np.asarray(counts[:used])
         states_np = np.asarray(states[:used]).astype("<u4")
         words_np = np.asarray(words[:used])
+        inits = np.asarray(inits_d)
+        cinits = np.asarray(cinits_d)
+        tot = np.asarray(tot_d)
     nwords = int(counts_np.sum())
     inits_b = G.pack_inits(inits, tot)
     r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))

@@ -261,16 +261,71 @@ def _adapt(p, bit, upd, rate):
     return jnp.where(upd, jnp.clip(p + step, 8, SCALE - 8), p)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def grc_lane_bits(ranks: jax.Array, m: jax.Array, chunk: int = GCHUNK):
+    """Event count per lane (elementwise + cumsum; no grid) — the
+    host sizes the encode grid W from its max."""
+    cap = ranks.shape[0]
+    L = cap // chunk
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid = pos < m
+    rk = jnp.where(valid, ranks.astype(jnp.int32), 0)
+    ilp = pos % chunk
+    is_start = ((rk != 0) | (ilp == 0)) & valid
+    lane_end = (pos // chunk + 1) * chunk
+    nxt_start = jax.lax.associative_scan(
+        jnp.minimum, jnp.where(is_start, pos, cap + 1), reverse=True)
+    nxt_after = jnp.concatenate(
+        [nxt_start[1:], jnp.full((1,), cap + 1, jnp.int32)])
+    k = jnp.clip(jnp.minimum(jnp.minimum(nxt_after, lane_end),
+                             m) - pos, 1, chunk)
+    r = rk
+    E = jnp.where(r > 1, _bitlen(r) - 1, 0)
+    nRE = jnp.where(r > 1, (E - 1) + (E < 7).astype(jnp.int32), 0)
+    Ek = jnp.where(k > 1, _bitlen(k) - 1, 0)
+    nUE = jnp.where(k > 1, (Ek - 1) + (Ek < MAX_EK).astype(jnp.int32), 0)
+    has_l0 = (ilp == 0) & is_start
+    has_rank = is_start & (r > 0)
+    ev = (has_l0.astype(jnp.int32)
+          + has_rank.astype(jnp.int32) * (1 + nRE + E)
+          + is_start.astype(jnp.int32) * (1 + nUE + Ek))
+    ev = jnp.where(is_start, ev, 0)
+    return ev.reshape(L, chunk).sum(axis=1)
+
+
 @partial(jax.jit, static_argnames=("chunk", "W"))
-def grc_encode(ranks: jax.Array, m: jax.Array, inits: jax.Array,
-               cinits: jax.Array, W: int, chunk: int = GCHUNK):
-    """-> (words uint16[L, W+2], counts int32[L], states uint32[L])."""
+def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
+               chunk: int = GCHUNK):
+    """ONE device program: binarize -> block stats -> init quantization
+    -> forward model walk -> reverse rANS.
+
+    -> (words uint16[L, W+2], counts int32[L], states uint32[L],
+        inits uint16[NM], cinits uint16[NFAM], tot int32[NM])."""
     cap = ranks.shape[0]
     L = cap // chunk
     gmb, lane_bits = _binarize(ranks, m, W, chunk)
     fam = jnp.asarray(fam_of_model())
-    init_i = inits.astype(jnp.int32)            # [NM]
-    cinit_i = cinits.astype(jnp.int32)          # [NFAM]
+    # block stats + integer init quantization from the event grid
+    flat = gmb.reshape(-1)
+    mdl_f = jnp.maximum(flat // 2 - 1, 0)
+    used_f = flat > 0
+    bit_f = (flat & 1) * used_f.astype(jnp.int32)
+    tgt_f = jnp.where(used_f, mdl_f, 0)
+    tot = jnp.zeros((NM,), jnp.int32).at[tgt_f].add(
+        used_f.astype(jnp.int32))
+    ones = jnp.zeros((NM,), jnp.int32).at[tgt_f].add(bit_f)
+    ctgt = jnp.where(used_f, fam[mdl_f], 0)
+    ctot = jnp.zeros((NFAM,), jnp.int32).at[ctgt].add(
+        used_f.astype(jnp.int32))
+    cones = jnp.zeros((NFAM,), jnp.int32).at[ctgt].add(bit_f)
+
+    def _quant(o, t):
+        p = jnp.where(t > 0, (o * SCALE) // jnp.maximum(t, 1),
+                      SCALE // 2)
+        return jnp.clip(p, 8, SCALE - 8)
+
+    init_i = _quant(ones, tot)                  # [NM]
+    cinit_i = _quant(cones, ctot)               # [NFAM]
 
     pstate0 = jnp.broadcast_to(init_i[None, :], (L, NM)).astype(jnp.int32)
     cstate0 = jnp.broadcast_to(cinit_i[None, :], (L, NFAM)).astype(
@@ -349,7 +404,8 @@ def grc_encode(ranks: jax.Array, m: jax.Array, inits: jax.Array,
     words = words.at[
         jnp.arange(L, dtype=jnp.int32)[:, None], tgt
     ].set(emit_t, mode="drop")
-    return words, counts, x
+    return (words, counts, x, init_i.astype(jnp.uint16),
+            cinit_i.astype(jnp.uint16), tot)
 
 
 @partial(jax.jit, static_argnames=("chunk", "cap"))
