@@ -67,6 +67,39 @@ def main():
         "enc_s": round(t1 - t0, 3), "dec_s": round(t2 - t1, 3),
         "rt_MBps": round(len(data) / 1e6 / (t2 - t0), 3)}), flush=True)
 
+    # 4b. bsc -e2 (GRC, fused encode) warm round trip
+    from tpulc.pipeline.registry import get_codec
+
+    bsc = get_codec("bsc")
+    comp = bsc.compress(data, block_size=4 << 20, coder=2)
+    assert bsc.decompress(comp) == data
+    t0 = time.perf_counter()
+    comp = bsc.compress(data, block_size=4 << 20, coder=2)
+    t1 = time.perf_counter()
+    out = bsc.decompress(comp)
+    t2 = time.perf_counter()
+    assert out == data
+    print(json.dumps({
+        "e2_grc_bytes": len(comp),
+        "ratio": round(len(data) / len(comp), 3),
+        "enc_s": round(t1 - t0, 3), "dec_s": round(t2 - t1, 3),
+        "rt_MBps": round(len(data) / 1e6 / (t2 - t0), 3)}), flush=True)
+
+    # 4c. bsc -e1 warm round trip
+    comp = bsc.compress(data, block_size=4 << 20)
+    assert bsc.decompress(comp) == data
+    t0 = time.perf_counter()
+    comp = bsc.compress(data, block_size=4 << 20)
+    t1 = time.perf_counter()
+    out = bsc.decompress(comp)
+    t2 = time.perf_counter()
+    assert out == data
+    print(json.dumps({
+        "e1_bytes": len(comp),
+        "ratio": round(len(data) / len(comp), 3),
+        "enc_s": round(t1 - t0, 3), "dec_s": round(t2 - t1, 3),
+        "rt_MBps": round(len(data) / 1e6 / (t2 - t0), 3)}), flush=True)
+
     # 5. production-shape chip checks
     import subprocess
 
