@@ -76,7 +76,9 @@ def compress_raw(data: bytes | np.ndarray, k_cand: int = K_CANDIDATES,
 
     exact=True computes true longest matches (compressed size matches
     the reference brute-force encoder); the default uses hash chains
-    (within ~0.01% of reference size at a fraction of the cost).
+    (ratio 1.910 vs the reference's 1.925 on the bench corpus, at a
+    small fraction of the cost — each candidate costs 5 full-width
+    gathers and gathers are the scarce TPU resource).
     """
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)

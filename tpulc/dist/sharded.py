@@ -296,7 +296,10 @@ def sharded_bsc_rans_forward(mesh: Mesh, block_size: int):
 
 
 def sharded_abc_roundtrip(mesh: Mesh, block_size: int):
-    """Sharded adaptive-binary-coder (-e2) round trip: each device
+    """Sharded adaptive-binary-coder round trip (the ABC coder — wire
+    id 2, shipped for ST-sorter -e2 blocks and legacy streams; BWT -e2
+    blocks use the group-rank coder, whose lanes shard identically):
+    each device
     encodes AND decodes its local blocks' symbol streams with a
     replicated model-init table (the broadcast-table role), then
     all_gathers per-block word counts (the container-offsets
