@@ -14,13 +14,6 @@ def main():
 
     data = make_corpus()
 
-    # 1. gather element-width microbench (c64 trick)
-    import tools.bench_gather_width as gw
-
-    try:
-        gw.main()
-    except Exception as e:  # pragma: no cover
-        print("gather-width bench failed:", e)
 
     # 2. culzss whole-corpus warm round trip
     from tpulc.codecs.lzss import culzss_driver

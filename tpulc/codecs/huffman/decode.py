@@ -27,6 +27,8 @@ which stores per-chunk bit offsets (like cudpp's per-block
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -407,3 +409,51 @@ def huffman_decode_ranks_batch(
 
     syms = jax.lax.map(_map_one, (ranks, order))
     return syms.astype(jnp.int32).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len", "row_words"))
+def huffman_decode_pallas_batch(
+    words: jax.Array,          # uint32 [B, w_pad]
+    total_bits: jax.Array,     # int32 [B]
+    lengths: jax.Array,        # int32 [B, 256]
+    chunk_bit_offsets: jax.Array,  # int32 [B, ccap]
+    chunk_syms: int,
+    max_len: int,
+    row_words: int,
+):
+    """Pallas-kernel alternative to `huffman_decode_ranks_batch`: the
+    per-step byte-window GATHER becomes a masked VMEM sublane reduction
+    inside `pallas_decode._kernel` (gathers ~120 M elem/s on the v5e;
+    VPU reductions are far denser).  The remaining gather is the
+    per-chunk row materialization.  Returns uint8 [B, ccap*chunk_syms].
+    """
+    from functools import partial as _p
+
+    from tpulc.codecs.huffman.device_tables import (
+        canonical_decode_params,
+    )
+    from tpulc.codecs.huffman.pallas_decode import (
+        decode_canonical_indices,
+    )
+
+    ccap = chunk_bit_offsets.shape[1]
+
+    def one(args):
+        w, tb, ln, of = args
+        lim, base, ss = canonical_decode_params(ln, max_len)
+        wp = jnp.concatenate([w, jnp.zeros((2,), jnp.uint32)])
+        lim_c = jnp.broadcast_to(lim[None, :], (ccap, max_len + 1))
+        base_c = jnp.broadcast_to(base[None, :], (ccap, max_len + 1))
+        ci = decode_canonical_indices(
+            wp, of, tb, lim_c, base_c, chunk_syms, max_len,
+            row_words=row_words,
+        )
+        flat = jnp.clip(ci.reshape(-1), 0, 255)
+        oh = jax.nn.one_hot(flat, 256, dtype=jnp.bfloat16)
+        sym = jnp.matmul(oh, ss[:256].astype(jnp.bfloat16),
+                         precision=jax.lax.Precision.HIGHEST)
+        return sym.astype(jnp.int32).astype(jnp.uint8)
+
+    del _p
+    return jax.lax.map(one, (words, total_bits, lengths,
+                             chunk_bit_offsets))

@@ -38,11 +38,11 @@ ROW_WORDS = 64  # words of stream per chunk row (>= 62, see driver calc)
 _U32 = jnp.uint32
 
 
-def _kernel(max_len: int, chunk_syms: int,
+def _kernel(max_len: int, chunk_syms: int, row_words: int,
             wrow_ref, pos_ref, end_ref, lim_ref, base_ref, out_ref):
     L = max_len
-    sub = jax.lax.broadcasted_iota(jnp.int32, (ROW_WORDS, NL), 0)
-    wrow = wrow_ref[:, :]                          # [ROW_WORDS, NL] i32 bits
+    sub = jax.lax.broadcasted_iota(jnp.int32, (row_words, NL), 0)
+    wrow = wrow_ref[:, :]                          # [row_words, NL] i32 bits
     pos0 = pos_ref[0, :]                           # [NL] i32 (bits, row-rel)
     end = end_ref[0, :]
     lim = lim_ref[:, :]                            # [L+1, NL] i32
@@ -86,14 +86,16 @@ def _kernel(max_len: int, chunk_syms: int,
     out_ref[:, :] = out
 
 
-@partial(jax.jit, static_argnames=("chunk_syms", "max_len"))
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len",
+                                   "row_words"))
 def decode_canonical_indices(words_p: jax.Array,
                              chunk_bit_offsets: jax.Array,
                              total_bits: jax.Array,
                              lim_chunk: jax.Array,
                              base_chunk: jax.Array,
                              chunk_syms: int,
-                             max_len: int) -> jax.Array:
+                             max_len: int,
+                             row_words: int = ROW_WORDS) -> jax.Array:
     """Decode every chunk's canonical indices.
 
     Args:
@@ -115,11 +117,11 @@ def decode_canonical_indices(words_p: jax.Array,
     # Word rows: chunk spans <= 31 + chunk_syms*L bits, +1 word for the
     # straddle fetch.
     need = -(-(31 + chunk_syms * L) // 32) + 1
-    assert need <= ROW_WORDS, (need, ROW_WORDS)
+    assert need <= row_words, (need, row_words)
     rows = words_p[
-        jnp.clip(start_word[:, None] + jnp.arange(ROW_WORDS)[None, :],
+        jnp.clip(start_word[:, None] + jnp.arange(row_words)[None, :],
                  0, words_p.shape[0] - 1)
-    ]                                               # [nsub, ROW_WORDS]
+    ]                                               # [nsub, row_words]
     pos_rel = chunk_bit_offsets - (start_word << 5)
     end_rel = jnp.minimum(
         total_bits.astype(jnp.int32) - (start_word << 5),
@@ -139,11 +141,11 @@ def decode_canonical_indices(words_p: jax.Array,
     base_t = padlanes(base_chunk).T
 
     out = pl.pallas_call(
-        partial(_kernel, max_len, chunk_syms),
+        partial(_kernel, max_len, chunk_syms, row_words),
         out_shape=jax.ShapeDtypeStruct((chunk_syms, pad), jnp.int32),
         grid=(pad // NL,),
         in_specs=[
-            pl.BlockSpec((ROW_WORDS, NL), lambda i: (0, i),
+            pl.BlockSpec((row_words, NL), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NL), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
