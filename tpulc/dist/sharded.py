@@ -356,3 +356,63 @@ def sharded_abc_roundtrip(mesh: Mesh, block_size: int):
         )
 
     return jax.jit(step), make_args
+
+
+def sharded_grc_roundtrip(mesh: Mesh, block_size: int):
+    """Sharded group-rank-coder (-e2 on BWT) round trip: each device
+    encodes AND decodes its local blocks' MTF rank streams (grc.py) —
+    the coder's inits are computed on-device per block and the per-
+    block word counts all_gather for the container offsets table."""
+    from tpulc.codecs.bsclike.driver import _cap_for as _bsc_cap
+    from tpulc.codecs.bsclike.grc import (
+        GCHUNK,
+        grc_decode,
+        grc_encode,
+        grc_lane_bits,
+    )
+
+    cap = min(_bsc_cap(block_size), 4 * GCHUNK)
+    W = 8192  # generous bits-per-lane bound for the tiny dryrun shapes
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(BLOCKS_AXIS, None), P(BLOCKS_AXIS)),
+        out_specs=(P(BLOCKS_AXIS, None), P()),
+    )
+    def step(local_ranks, local_ns):
+        lB = local_ranks.shape[0]
+        outs = []
+        nw = []
+        for b in range(lB):
+            r = local_ranks[b]
+            n = local_ns[b]
+            words, counts, states, inits, cinits, _tot = grc_encode(
+                r, n, W)
+            lane_bits = grc_lane_bits(r, n)
+            dec = grc_decode(
+                words, counts, states, n, inits, cinits,
+                jnp.max(lane_bits), cap)
+            outs.append(dec)
+            nw.append(counts.sum())
+        out = jnp.stack(outs)
+        all_words = jax.lax.all_gather(
+            jnp.stack(nw), BLOCKS_AXIS, tiled=True)
+        return out, all_words
+
+    def make_args(n_blocks: int, rng_seed: int = 0):
+        import numpy as np
+
+        rng = np.random.default_rng(rng_seed)
+        ranks = np.where(
+            rng.random((n_blocks, cap)) < 0.5, 0,
+            np.minimum(rng.geometric(0.4, size=(n_blocks, cap)), 255),
+        ).astype(np.int32)
+        ns = np.full((n_blocks,), cap, np.int32)
+        return (
+            jax.device_put(ranks,
+                           NamedSharding(mesh, P(BLOCKS_AXIS, None))),
+            jax.device_put(ns, NamedSharding(mesh, P(BLOCKS_AXIS))),
+        )
+
+    return jax.jit(step), make_args
