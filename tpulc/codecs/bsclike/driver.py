@@ -613,6 +613,13 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         off += 4 * nlanes
         flat = np.frombuffer(payload[off: off + 2 * nwords], "<u2")
         lcap_g = max(1, dcap // G.GCHUNK)
+        # hostile-field bounds (bzip2 DATA_ERROR discipline): a lane
+        # cannot carry more events than MAX_GROUP_BITS per symbol, and
+        # the lane count is fixed by the block geometry
+        if (nlanes > lcap_g or maxbits > G.MAX_GROUP_BITS * G.GCHUNK
+                or int(counts.max(initial=0)) > G.MAX_GROUP_BITS
+                * G.GCHUNK):
+            raise ValueError("bad grc payload geometry")
         Wc = bucket_bits(int(counts.max(initial=0)) + 2, lo=64)
         words_p = np.zeros((lcap_g, Wc), np.uint16)
         lane_valid = np.arange(Wc)[None, :] < counts[:, None]
