@@ -241,15 +241,37 @@ def _decompress_batch_aligned(group: list[bytes], cap: int,
     """All-aligned fast path: the whole batch decodes in ONE program
     (`decode.huffman_decode_ranks_batch` — canonical threshold-compare
     rank decode, no per-symbol LUT gather).  Returns None when some
-    block lacks the aligned offset table (caller falls back)."""
+    block lacks the aligned offset table (caller falls back).
+
+    TPULC_HUFF_PALLAS=1 routes through the Pallas masked-reduction
+    kernel instead (`decode.huffman_decode_pallas_batch`) on TPU
+    backends — the word fetch becomes a VMEM sublane reduction, leaving
+    only the per-chunk row gather."""
+    import os
+
     prep = _parse_aligned_group(group, cap, max_len)
     if prep is None:
         return None
     words_a, tbits_a, lens_a, offs_a, ns = prep
-    syms = _decode_batch_ranks(
-        jnp.asarray(words_a), jnp.asarray(tbits_a), jnp.asarray(lens_a),
-        jnp.asarray(offs_a), CHUNK_SYMS, max_len,
-    )
+    if os.environ.get("TPULC_HUFF_PALLAS") and \
+            jax.default_backend() not in ("cpu",):
+        from tpulc.codecs.huffman.decode import (
+            huffman_decode_pallas_batch,
+        )
+
+        need = -(-(31 + CHUNK_SYMS * max_len) // 32) + 1
+        rw = 1 << max(1, (need - 1).bit_length())
+        syms = huffman_decode_pallas_batch(
+            jnp.asarray(words_a), jnp.asarray(tbits_a),
+            jnp.asarray(lens_a), jnp.asarray(offs_a), CHUNK_SYMS,
+            max_len, rw,
+        )
+    else:
+        syms = _decode_batch_ranks(
+            jnp.asarray(words_a), jnp.asarray(tbits_a),
+            jnp.asarray(lens_a), jnp.asarray(offs_a), CHUNK_SYMS,
+            max_len,
+        )
     pulled = np.asarray(syms)
     return [pulled[j, : ns[j]] for j in range(len(ns))]
 
