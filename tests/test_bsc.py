@@ -175,3 +175,33 @@ def test_segmentation_leaves_homogeneous_alone():
     with open("tests/data/pg1661.txt", "rb") as f:
         text = f.read()[:80000]
     assert detect_segments(np.frombuffer(text, np.uint8)) == [len(text)]
+
+
+def test_e2_with_st_sorter_uses_abc_and_roundtrips():
+    """-e2 on an ST sorter keeps the ABC coder (the GRC path needs the
+    BWT rank stream); both must round trip."""
+    from tpulc.codecs.bsclike import driver as D
+
+    with open("tests/data/pg1661.txt", "rb") as f:
+        text = f.read()[:40000]
+    c = D.compress(text, block_size=65536, coder=2, sorter="st4")
+    assert D.decompress(c) == text
+
+
+def test_segmented_payload_hostile_sizes():
+    import numpy as np
+    import pytest
+
+    from tpulc.codecs.bsclike import driver as D
+
+    # build a segmented payload then corrupt the size table
+    a = b"Qar" * 9000
+    b = b"Qas" * 9000
+    blk = np.frombuffer(a + b, np.uint8)
+    p = D.compress_block(blk, 65536, filter_mode="auto")
+    head = D._HEAD.unpack(p[: D._HEAD.size])
+    if head[6] == D.CODER_SEGMENTED:
+        bad = bytearray(p)
+        bad[D._HEAD.size] ^= 0xFF  # first u32 segment size
+        with pytest.raises(Exception):
+            D.decompress_block(bytes(bad), 65536)
