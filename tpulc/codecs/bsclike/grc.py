@@ -142,7 +142,6 @@ def _binarize(ranks: jax.Array, m: jax.Array, W: int,
     off = (jnp.cumsum(evl, axis=1) - evl).reshape(cap)
     lane_bits = evl.sum(axis=1)
 
-    lane_of = (pos // chunk).reshape(L, chunk)[:, 0]  # noqa: F841
     gmb = jnp.zeros((L, W), jnp.int32)
     lane_ids = jnp.arange(L, dtype=jnp.int32)[:, None]
 
