@@ -17,10 +17,12 @@ a family-level coarse counter, and the wired block-static init:
 
 Lanes cut the MTF stream every GCHUNK symbols; groups truncate at lane
 boundaries and a lane-initial continuation group (leading zero-run)
-codes one L0 bit instead of a rank.  Encode: vectorized binarization
-(static 35 scatter rounds, no FSM) -> forward model walk -> reverse
-rANS, one jitted program per pass family, mirroring rans_adaptive.
-Decode: per-lane FSM in lockstep, one bit per step.
+codes one L0 bit instead of a rank.  Encode is ONE device program:
+vectorized binarization (static 35 scatter rounds, no FSM) -> block
+stats + integer init quantization from the event grid -> forward model
+walk -> reverse rANS; a tiny lane-bits pre-pass sizes the grid.
+Decode: per-lane FSM in lockstep, one bit per step — the SAME model
+arithmetic, so probabilities match bit-for-bit.
 """
 
 from __future__ import annotations
