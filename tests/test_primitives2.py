@@ -257,3 +257,20 @@ def test_orbit_flags():
         ref[p] = True
         p = int(jump_e[p])
     assert np.array_equal(got, ref)
+
+
+def test_multi_scan():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 100, (5, 33)).astype(np.int32)
+    got = np.asarray(par.multi_scan(jnp.asarray(x)))
+    assert np.array_equal(got, np.cumsum(x, axis=1))
+    got_ex = np.asarray(par.multi_scan(jnp.asarray(x), exclusive=True))
+    ref_ex = np.concatenate(
+        [np.zeros((5, 1), np.int32), np.cumsum(x, axis=1)[:, :-1]], axis=1)
+    assert np.array_equal(got_ex, ref_ex)
+    got_rev = np.asarray(par.multi_scan(jnp.asarray(x), op=jnp.maximum,
+                                        reverse=True))
+    ref_rev = np.maximum.accumulate(x[:, ::-1], axis=1)[:, ::-1]
+    assert np.array_equal(got_rev, ref_rev)
+    with pytest.raises(ValueError):
+        par.multi_scan(jnp.asarray(x[0]))

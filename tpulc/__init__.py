@@ -31,12 +31,6 @@ def _enable_compile_cache() -> None:
 
     if os.environ.get("TPULC_NO_COMPILE_CACHE"):
         return
-    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
-    if not path:
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        path = (os.path.join(repo, ".jax_cache")
-                if os.access(repo, os.W_OK)
-                else os.path.expanduser("~/.cache/tpulc/jax"))
     try:
         import jax
 
@@ -44,6 +38,27 @@ def _enable_compile_cache() -> None:
         # never override a cache dir the consumer already chose.
         if jax.config.jax_compilation_cache_dir:
             return
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        base = repo if os.access(repo, os.W_OK) \
+            else os.path.expanduser("~/.cache/tpulc")
+        if not path:
+            # CPU-backend executables are AOT-compiled for the host's
+            # exact CPU features; sharing them across machines makes
+            # cpu_aot_loader spew feature-mismatch errors and has
+            # produced bogus execution failures.  Route CPU-only
+            # processes to a per-machine partition; TPU processes keep
+            # the shared .jax_cache (TPU executables target the chip,
+            # not the host).
+            platforms = str(getattr(jax.config, "jax_platforms", "")
+                            or os.environ.get("JAX_PLATFORMS", ""))
+            if platforms == "cpu":
+                from tpulc.utils.cachedir import machine_cache_dir
+
+                path = machine_cache_dir(
+                    os.path.join(base, ".jax_cache_cpu"))
+            else:
+                path = os.path.join(base, ".jax_cache")
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort

@@ -562,13 +562,18 @@ def compress_block(block: np.ndarray, block_cap: int,
     return payload
 
 
-def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
+def decompress_block(payload: bytes, block_cap: int,
+                     _depth: int = 0) -> np.ndarray:
     (n, m_lzp, m, idx0, nwords, flags,
      coder) = _HEAD.unpack(payload[: _HEAD.size])
     off = _HEAD.size
     if flags & FLAG_STORED:
         return np.frombuffer(payload[off: off + n], np.uint8)
     if coder == CODER_SEGMENTED:
+        # compress never nests segments; a crafted chain of single-
+        # segment payloads must raise a stream error, not recurse.
+        if _depth >= 1:
+            raise ValueError("bad segmented payload: nested segments")
         nseg = nwords
         if nseg < 1 or nseg > 4096 or off + 4 * nseg > len(payload):
             raise ValueError("bad segmented payload")
@@ -579,7 +584,7 @@ def decompress_block(payload: bytes, block_cap: int) -> np.ndarray:
         parts = []
         for sz in sizes:
             parts.append(decompress_block(payload[off: off + int(sz)],
-                                          block_cap))
+                                          block_cap, _depth + 1))
             off += int(sz)
         return np.concatenate(parts)
     if coder == CODER_RANS:

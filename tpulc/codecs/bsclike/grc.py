@@ -321,8 +321,11 @@ def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
     cones = jnp.zeros((NFAM,), jnp.int32).at[ctgt].add(bit_f)
 
     def _quant(o, t):
-        p = jnp.where(t > 0, (o * SCALE) // jnp.maximum(t, 1),
-                      SCALE // 2)
+        # o * SCALE overflows int32 once a model sees >2^19 events
+        # (routine at 25 MB blocks); divide in f32 instead — relative
+        # error ~2^-24 is far below the 1/SCALE quantization grain.
+        r = o.astype(jnp.float32) / jnp.maximum(t, 1).astype(jnp.float32)
+        p = jnp.where(t > 0, (r * SCALE).astype(jnp.int32), SCALE // 2)
         return jnp.clip(p, 8, SCALE - 8)
 
     init_i = _quant(ones, tot)                  # [NM]

@@ -155,8 +155,10 @@ def decompress(buf: bytes) -> bytes:
     n_valids = np.asarray(n_valids)
     parts = []
     for j, info in enumerate(infos):
-        assert int(n_valids[j]) >= info.raw_size, (
-            int(n_valids[j]), info.raw_size)
+        if int(n_valids[j]) < info.raw_size:
+            raise ValueError(
+                "corrupt lzss block: decoded %d of %d bytes"
+                % (int(n_valids[j]), info.raw_size))
         parts.append(outs_np[j, : info.raw_size])
     out = b"".join(x.tobytes() for x in parts)[: c.orig_len]
     if not c.verify_data(np.frombuffer(out, np.uint8)):

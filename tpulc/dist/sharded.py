@@ -372,7 +372,12 @@ def sharded_grc_roundtrip(mesh: Mesh, block_size: int):
     )
 
     cap = min(_bsc_cap(block_size), 4 * GCHUNK)
-    W = 8192  # generous bits-per-lane bound for the tiny dryrun shapes
+    # Hard bits-per-lane bound: grc_encode scatters with mode='drop',
+    # so an undersized W silently truncates words.  MAX_GROUP_BITS per
+    # group x GCHUNK groups/lane is the coder's true ceiling and is
+    # tiny at dryrun shapes.
+    from tpulc.codecs.bsclike.grc import MAX_GROUP_BITS
+    W = MAX_GROUP_BITS * GCHUNK
 
     @partial(
         shard_map,

@@ -28,6 +28,21 @@ def scan(x, op=jnp.add, exclusive: bool = False, reverse: bool = False):
     return jnp.concatenate([jnp.full((1,), ident, x.dtype), incl[:-1]])
 
 
+def multi_scan(x, op=jnp.add, exclusive: bool = False,
+               reverse: bool = False):
+    """cudppMultiScan (`cudpp.h` multiScan entry, `app/scan_app.cu`):
+    independent scans over each ROW of a 2-D array.
+
+    cudpp launches one scan per row with shared block code; on TPU the
+    rows vectorize as a batched associative scan (vmap over axis 0),
+    one fused program for the whole matrix."""
+    if x.ndim != 2:
+        raise ValueError("multi_scan expects a 2-D [rows, cols] array")
+    return jax.vmap(
+        lambda r: scan(r, op=op, exclusive=exclusive, reverse=reverse)
+    )(x)
+
+
 def _identity_for(op, dtype):
     if op is jnp.add:
         return 0
