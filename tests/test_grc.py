@@ -111,3 +111,32 @@ def test_inits_pack_roundtrip():
     assert off == 2 + len(blob)
     assert np.array_equal(out[tot > 0], inits[tot > 0])
     assert (out[tot == 0] == grc.SCALE // 2).all()
+
+
+@pytest.mark.parametrize("name,kw", CASES)
+def test_pallas_walks_match_xla(name, kw):
+    """The Pallas VMEM-resident model walks must be bit-identical to
+    the XLA reference: same words/states out of encode, same ranks out
+    of decode (interpret mode; the real-chip run is pinned by
+    tests/tpu_kernels_check.py)."""
+    from tpulc.codecs.bsclike import grc_pallas as GP
+
+    cap, m = 4096, 3777
+    ranks = _mk_ranks(cap, seed=hash(name) % 1000, **kw)
+    ranks[m:] = 0
+    maxbits = int(np.asarray(
+        grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))).max())
+    W = grc_bucket(maxbits)
+    ref = grc.grc_encode(jnp.asarray(ranks), jnp.int32(m), W)
+    got = GP.grc_encode_pallas(jnp.asarray(ranks), jnp.int32(m), W,
+                               interpret=True)
+    for a, b, what in zip(ref, got,
+                          ("words", "counts", "states", "inits",
+                           "cinits", "tot")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), (name, what)
+    words, counts, states, inits, cinits, _ = ref
+    dec = GP.grc_decode_pallas(
+        words, counts, states, jnp.int32(m),
+        jnp.asarray(np.asarray(inits)), jnp.asarray(np.asarray(cinits)),
+        jnp.int32(maxbits), cap, interpret=True)
+    assert np.array_equal(np.asarray(dec)[:m], ranks[:m]), name

@@ -70,14 +70,14 @@ def main():
     meta, words = bz._compress_fused(blk, R, K, out_words, nchunks)
     jax.block_until_ready(meta)
     payload = bz.compress_block(data, size)
-    outs = bz._decompress_batch_packed([payload], size)
+    outs = bz._decompress_batch_packed([payload], cap)
     assert outs[0].tobytes() == data.tobytes()
 
     logdir = tempfile.mkdtemp(prefix="bz_trace_")
     with jax.profiler.trace(logdir):
         meta, words = bz._compress_fused(blk, R, K, out_words, nchunks)
         jax.block_until_ready(meta)
-        outs = bz._decompress_batch_packed([payload], size)
+        outs = bz._decompress_batch_packed([payload], cap)
     print("=== top device ops (compress fused + inverse packed) ===")
     parse_trace(logdir)
 

@@ -341,7 +341,10 @@ def _finish_block_grc(ranks, idx0, anchors, a_ok, orig_block, n,
         lane_bits = np.asarray(G.grc_lane_bits(ranks, jnp.int32(m_lzp)))
         maxbits = int(lane_bits.max()) if lane_bits.size else 0
         W = bucket_bits(max(maxbits, 1))
-        words, counts, states, inits_d, cinits_d, tot_d = G.grc_encode(
+        from tpulc.codecs.bsclike import grc_pallas as GP
+
+        enc = GP.grc_encode_pallas if GP.use_pallas() else G.grc_encode
+        words, counts, states, inits_d, cinits_d, tot_d = enc(
             ranks, jnp.int32(m_lzp), W)
         used = max(1, -(-int(m_lzp) // G.GCHUNK))
         counts_np = np.asarray(counts[:used])
@@ -634,7 +637,11 @@ def decompress_block(payload: bytes, block_cap: int,
         counts_p = np.zeros(lcap_g, np.int32)
         counts_p[:nlanes] = counts
         with timing.stage("bsc.rans.decode"):
-            ranks = G.grc_decode(
+            from tpulc.codecs.bsclike import grc_pallas as GP
+
+            dec = (GP.grc_decode_pallas if GP.use_pallas()
+                   else G.grc_decode)
+            ranks = dec(
                 jnp.asarray(words_p), jnp.asarray(counts_p),
                 jnp.asarray(states_p), jnp.int32(m_lzp),
                 jnp.asarray(inits), jnp.asarray(cinits),

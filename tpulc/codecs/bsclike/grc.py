@@ -294,19 +294,10 @@ def grc_lane_bits(ranks: jax.Array, m: jax.Array, chunk: int = GCHUNK):
     return ev.reshape(L, chunk).sum(axis=1)
 
 
-@partial(jax.jit, static_argnames=("chunk", "W"))
-def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
-               chunk: int = GCHUNK):
-    """ONE device program: binarize -> block stats -> init quantization
-    -> forward model walk -> reverse rANS.
-
-    -> (words uint16[L, W+2], counts int32[L], states uint32[L],
-        inits uint16[NM], cinits uint16[NFAM], tot int32[NM])."""
-    cap = ranks.shape[0]
-    L = cap // chunk
-    gmb, lane_bits = _binarize(ranks, m, W, chunk)
+def _stats_quant(gmb: jax.Array):
+    """Block stats + integer init quantization from the event grid ->
+    (init_i int32[NM], cinit_i int32[NFAM], tot int32[NM])."""
     fam = jnp.asarray(fam_of_model())
-    # block stats + integer init quantization from the event grid
     flat = gmb.reshape(-1)
     mdl_f = jnp.maximum(flat // 2 - 1, 0)
     used_f = flat > 0
@@ -330,7 +321,14 @@ def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
 
     init_i = _quant(ones, tot)                  # [NM]
     cinit_i = _quant(cones, ctot)               # [NFAM]
+    return init_i, cinit_i, tot
 
+
+def _walk_probs(gmb: jax.Array, init_i: jax.Array, cinit_i: jax.Array,
+                lane_bits: jax.Array):
+    """XLA forward model walk -> probs uint16-valued int32[L, W]."""
+    L, W = gmb.shape
+    fam = jnp.asarray(fam_of_model())
     pstate0 = jnp.broadcast_to(init_i[None, :], (L, NM)).astype(jnp.int32)
     cstate0 = jnp.broadcast_to(cinit_i[None, :], (L, NFAM)).astype(
         jnp.int32)
@@ -365,8 +363,14 @@ def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
 
     _, _, probs = jax.lax.fori_loop(0, (nsteps + 3) // 4, m4,
                                     (pstate0, cstate0, probs0))
-    probs = probs.T
+    return probs.T
 
+
+def _reverse_rans(gmb: jax.Array, probs: jax.Array,
+                  nsteps: jax.Array):
+    """Reverse-order rANS emission from the prob grid ->
+    (words uint16[L, W+2], counts int32[L], states uint32[L])."""
+    L, W = gmb.shape
     x0 = jnp.full((L,), RANS_L, jnp.uint32)
     emit0 = jnp.zeros((W, L), jnp.uint16)
     emask0 = jnp.zeros((W, L), bool)
@@ -408,6 +412,22 @@ def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
     words = words.at[
         jnp.arange(L, dtype=jnp.int32)[:, None], tgt
     ].set(emit_t, mode="drop")
+    return words, counts, x
+
+
+@partial(jax.jit, static_argnames=("chunk", "W"))
+def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
+               chunk: int = GCHUNK):
+    """ONE device program: binarize -> block stats -> init quantization
+    -> forward model walk -> reverse rANS.
+
+    -> (words uint16[L, W+2], counts int32[L], states uint32[L],
+        inits uint16[NM], cinits uint16[NFAM], tot int32[NM])."""
+    gmb, lane_bits = _binarize(ranks, m, W, chunk)
+    init_i, cinit_i, tot = _stats_quant(gmb)
+    nsteps = jnp.max(lane_bits)
+    probs = _walk_probs(gmb, init_i, cinit_i, lane_bits)
+    words, counts, x = _reverse_rans(gmb, probs, nsteps)
     return (words, counts, x, init_i.astype(jnp.uint16),
             cinit_i.astype(jnp.uint16), tot)
 

@@ -243,18 +243,23 @@ def _decompress_batch_aligned(group: list[bytes], cap: int,
     rank decode, no per-symbol LUT gather).  Returns None when some
     block lacks the aligned offset table (caller falls back).
 
-    TPULC_HUFF_PALLAS=1 routes through the Pallas masked-reduction
-    kernel instead (`decode.huffman_decode_pallas_batch`) on TPU
-    backends — the word fetch becomes a VMEM sublane reduction, leaving
-    only the per-chunk row gather."""
+    On TPU backends the default is the Pallas masked-reduction kernel
+    (`decode.huffman_decode_pallas_batch`) — the word fetch becomes a
+    VMEM sublane reduction, leaving only the per-chunk row gather
+    (measured 0.183 vs 0.134 GB/s at 100 MB, r4 A/B).
+    TPULC_HUFF_PALLAS=0 forces the rank decoder."""
     import os
 
     prep = _parse_aligned_group(group, cap, max_len)
     if prep is None:
         return None
     words_a, tbits_a, lens_a, offs_a, ns = prep
-    if os.environ.get("TPULC_HUFF_PALLAS") and \
-            jax.default_backend() not in ("cpu",):
+    # Default flipped to the Pallas kernel after the r4 on-chip A/B at
+    # 100 MB: rank 0.134 GB/s vs Pallas 0.183 GB/s, outputs identical
+    # (tools/chip_followup_r3.py).  TPULC_HUFF_PALLAS=0 forces ranks.
+    env = os.environ.get("TPULC_HUFF_PALLAS")
+    want_pallas = env not in ("0", "") if env is not None else True
+    if want_pallas and jax.default_backend() not in ("cpu",):
         from tpulc.codecs.huffman.decode import (
             huffman_decode_pallas_batch,
         )
