@@ -33,7 +33,7 @@ def test_core_roundtrip(name, kw):
     ranks = _mk_ranks(cap, seed=hash(name) % 1000, **kw)
     ranks[m:] = 0
     maxbits = int(np.asarray(
-        grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))).max())
+        grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))[0]).max())
     W = grc_bucket(maxbits)
     words, counts, states, inits, cinits, tot = grc.grc_encode(
         jnp.asarray(ranks), jnp.int32(m), W)
@@ -71,7 +71,7 @@ def test_extreme_streams():
     ]:
         m = cap
         maxbits = int(np.asarray(
-            grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))).max())
+            grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))[0]).max())
         words, counts, states, inits, cinits, tot = grc.grc_encode(
             jnp.asarray(ranks), jnp.int32(m), grc_bucket(maxbits))
         dec = grc.grc_decode(words, counts, states, jnp.int32(m),
@@ -125,7 +125,7 @@ def test_pallas_walks_match_xla(name, kw):
     ranks = _mk_ranks(cap, seed=hash(name) % 1000, **kw)
     ranks[m:] = 0
     maxbits = int(np.asarray(
-        grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))).max())
+        grc.grc_lane_bits(jnp.asarray(ranks), jnp.int32(m))[0]).max())
     W = grc_bucket(maxbits)
     ref = grc.grc_encode(jnp.asarray(ranks), jnp.int32(m), W)
     got = GP.grc_encode_pallas(jnp.asarray(ranks), jnp.int32(m), W,
@@ -140,3 +140,22 @@ def test_pallas_walks_match_xla(name, kw):
         jnp.asarray(np.asarray(inits)), jnp.asarray(np.asarray(cinits)),
         jnp.int32(maxbits), cap, interpret=True)
     assert np.array_equal(np.asarray(dec)[:m], ranks[:m]), name
+
+
+def test_binarize_bs_bucket_matches_full():
+    """The compact-starts bucket (bs < cap) must produce the identical
+    event grid and stream as the safe bs=cap default."""
+    cap, m = 8192, 8000
+    ranks = _mk_ranks(cap, seed=42, p_run=0.3, p_rank=0.5)
+    ranks[m:] = 0
+    lane_bits, nstarts_d = grc.grc_lane_bits(jnp.asarray(ranks),
+                                             jnp.int32(m))
+    maxbits = int(np.asarray(lane_bits).max())
+    nstarts = int(np.asarray(nstarts_d))
+    W = grc_bucket(maxbits)
+    bs = 1 << max(10, (nstarts - 1).bit_length())
+    assert bs < cap, (bs, nstarts)
+    ref = grc.grc_encode(jnp.asarray(ranks), jnp.int32(m), W)
+    got = grc.grc_encode(jnp.asarray(ranks), jnp.int32(m), W, bs=bs)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -338,21 +338,41 @@ def _finish_block_grc(ranks, idx0, anchors, a_ok, orig_block, n,
     from tpulc.codecs.bsclike import grc as G
 
     with timing.stage("bsc.rans"):
-        lane_bits = np.asarray(G.grc_lane_bits(ranks, jnp.int32(m_lzp)))
+        # Tunnel discipline (measured r4: ~25 ms RTT per D2H pull):
+        # three pulls total — (1) the sizing pre-pass, (2) all small
+        # metadata concatenated, (3) a tight bucket of the words.
+        lane_bits_d, nstarts_d = G.grc_lane_bits(ranks, jnp.int32(m_lzp))
+        pre = np.asarray(jnp.concatenate(
+            [lane_bits_d, jnp.reshape(nstarts_d, (1,))]))
+        lane_bits, nstarts = pre[:-1], int(pre[-1])
         maxbits = int(lane_bits.max()) if lane_bits.size else 0
         W = bucket_bits(max(maxbits, 1))
+        # static start-count bucket: the binarize scatter rounds cost
+        # per source element, so run them over ~nstarts, not cap
+        bs = min(bucket_bits(max(nstarts, 1), lo=1024), ranks.shape[0])
         from tpulc.codecs.bsclike import grc_pallas as GP
 
         enc = GP.grc_encode_pallas if GP.use_pallas() else G.grc_encode
         words, counts, states, inits_d, cinits_d, tot_d = enc(
-            ranks, jnp.int32(m_lzp), W)
+            ranks, jnp.int32(m_lzp), W, bs=bs)
         used = max(1, -(-int(m_lzp) // G.GCHUNK))
-        counts_np = np.asarray(counts[:used])
-        states_np = np.asarray(states[:used]).astype("<u4")
-        words_np = np.asarray(words[:used])
-        inits = np.asarray(inits_d)
-        cinits = np.asarray(cinits_d)
-        tot = np.asarray(tot_d)
+        meta = np.asarray(jnp.concatenate([
+            counts[:used].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(states[:used], jnp.int32),
+            inits_d.astype(jnp.int32), cinits_d.astype(jnp.int32),
+            tot_d,
+        ]))
+        counts_np = meta[:used]
+        states_np = meta[used: 2 * used].view(np.uint32).astype("<u4")
+        o = 2 * used
+        inits = meta[o: o + G.NM].astype(np.uint16)
+        cinits = meta[o + G.NM: o + G.NM + G.NFAM].astype(np.uint16)
+        tot = meta[o + G.NM + G.NFAM:]
+        # tight words pull: bucket both lane count and width
+        wmax = int(counts_np.max(initial=0)) + 1
+        used_b = min(bucket_bits(used, lo=64), words.shape[0])
+        wc2 = min(bucket_bits(wmax, lo=64), words.shape[1])
+        words_np = np.asarray(words[:used_b, :wc2])[:used]
     nwords = int(counts_np.sum())
     inits_b = G.pack_inits(inits, tot)
     r_used = max(1, -(-m_lzp // ANCHOR_STRIDE))

@@ -88,42 +88,54 @@ def _rq_of(r):
 
 
 def _binarize(ranks: jax.Array, m: jax.Array, W: int,
-              chunk: int = GCHUNK):
+              chunk: int = GCHUNK, bs: int | None = None):
     """ranks int32[cap] -> packed event grid gmb int32[L, W]
-    (rec = (model+1)*2 + bit; 0 = empty) + lane_bits int32[L]."""
+    (rec = (model+1)*2 + bit; 0 = empty) + lane_bits int32[L].
+
+    Group starts are COMPACTED first (one 2-operand sort), so the 35
+    event scatter rounds run over the ~nstarts live groups instead of
+    all cap positions (scatter cost is per SOURCE element on TPU), and
+    the prev/prev2 context gathers become shifts of the compact array.
+    `bs` is the static start-count bucket (host-derived from the
+    `grc_lane_bits` pre-pass; None = cap, always safe)."""
     cap = ranks.shape[0]
     L = cap // chunk
+    if bs is None:
+        bs = cap
     pos = jnp.arange(cap, dtype=jnp.int32)
     valid = pos < m
-    rk = jnp.where(valid, ranks.astype(jnp.int32), 0)
-    ilp = pos % chunk
-    is_start = ((rk != 0) | (ilp == 0)) & valid
+    rk_full = jnp.where(valid, ranks.astype(jnp.int32), 0)
+    is_start = ((rk_full != 0) | (pos % chunk == 0)) & valid
+    nstarts = jnp.sum(is_start.astype(jnp.int32))
 
-    lane_end = (pos // chunk + 1) * chunk
-    nxt_start = jax.lax.associative_scan(
-        jnp.minimum, jnp.where(is_start, pos, cap + 1), reverse=True
-    )
-    nxt_after = jnp.concatenate(
-        [nxt_start[1:], jnp.full((1,), cap + 1, jnp.int32)])
-    k = jnp.clip(jnp.minimum(jnp.minimum(nxt_after, lane_end),
-                             m) - pos, 1, chunk)       # at starts
+    # stable compact: starts (by position) first, then the rest
+    key = jnp.where(is_start, pos, cap + pos)
+    _, spos, rk = jax.lax.sort((key, pos, rk_full), num_keys=1)
+    spos, rk = spos[:bs], rk[:bs]
+    sval = (jnp.arange(bs, dtype=jnp.int32) < nstarts)
+    lane = spos // chunk
+    ilp = spos % chunk
+    lane_end = (lane + 1) * chunk
 
-    # previous / prev2 group start positions within the lane
-    lane_first = (pos // chunk) * chunk
-    S = jax.lax.associative_scan(
-        jnp.maximum,
-        jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                         jnp.where(is_start, pos, -1)[:-1]]),
-    )
-    S = jnp.where(S >= lane_first, S, -1)
-    Sc = jnp.maximum(S, 0)
-    S2 = jnp.where(S >= 0, S[Sc], -1)      # start before the previous one
-    S2 = jnp.where(S2 >= lane_first, S2, -1)
-    S2c = jnp.maximum(S2, 0)
-    prev_r = jnp.where(S >= 0, rk[Sc], 0)
-    prev_k = jnp.where(S >= 0, k[Sc], 1)
-    prev2_r = jnp.where(S2 >= 0, rk[S2c], 0)
-    prev2_k = jnp.where(S2 >= 0, k[S2c], 1)
+    nxt = jnp.concatenate([spos[1:], jnp.full((1,), cap + 1, jnp.int32)])
+    nxt_v = jnp.concatenate([sval[1:], jnp.zeros((1,), bool)])
+    nxt = jnp.where(nxt_v, nxt, cap + 1)
+    k = jnp.clip(jnp.minimum(jnp.minimum(nxt, lane_end), m) - spos,
+                 1, chunk)
+
+    def shift1(x, fill):
+        return jnp.concatenate(
+            [jnp.full((1,), fill, x.dtype), x[:-1]])
+
+    same1 = shift1(lane, -1) == lane
+    same2 = jnp.concatenate(
+        [jnp.full((2,), -1, jnp.int32), lane[:-2]]) == lane
+    prev_r = jnp.where(same1, shift1(rk, 0), 0)
+    prev_k = jnp.where(same1, shift1(k, 1), 1)
+    prev2_r = jnp.where(
+        same2, jnp.concatenate([jnp.zeros((2,), jnp.int32), rk[:-2]]), 0)
+    prev2_k = jnp.where(
+        same2, jnp.concatenate([jnp.ones((2,), jnp.int32), k[:-2]]), 1)
     prev_e = jnp.where(prev_r > 0, _bitlen(prev_r) - 1, 0)
     cR4, cRun, hE, cR4c, cR0 = _ctx_regs(prev_r, prev2_r, prev_k,
                                          prev2_k, prev_e)
@@ -134,28 +146,37 @@ def _binarize(ranks: jax.Array, m: jax.Array, W: int,
     nRE = jnp.where(r > 1, (E - 1) + (E < 7).astype(jnp.int32), 0)
     Ek = jnp.where(k > 1, _bitlen(k) - 1, 0)
     nUE = jnp.where(k > 1, (Ek - 1) + (Ek < MAX_EK).astype(jnp.int32), 0)
-    has_l0 = (ilp == 0) & is_start
-    has_rank = is_start & (r > 0)
+    has_l0 = (ilp == 0) & sval
+    has_rank = sval & (r > 0)
+    is_start = sval
     ev = (has_l0.astype(jnp.int32)
           + has_rank.astype(jnp.int32) * (1 + nRE + E)
           + is_start.astype(jnp.int32) * (1 + nUE + Ek))
     ev = jnp.where(is_start, ev, 0)
-    evl = ev.reshape(L, chunk)
-    off = (jnp.cumsum(evl, axis=1) - evl).reshape(cap)
-    lane_bits = evl.sum(axis=1)
+    # per-lane exclusive offsets: segmented cumsum over the compact
+    # (position-ordered) starts, segments reset at lane changes
+    newlane = ~same1
+
+    def segsum(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+    incl, _ = jax.lax.associative_scan(segsum, (ev, newlane))
+    off = incl - ev
+    lane_bits = jnp.zeros((L,), jnp.int32).at[lane].add(
+        ev, mode="drop")
 
     gmb = jnp.zeros((L, W), jnp.int32)
-    lane_ids = jnp.arange(L, dtype=jnp.int32)[:, None]
 
     def scat(gmb, mask, tgt, model, bit):
         rec = jnp.where(mask, (model + 1) * 2 + bit, 0)
-        t2 = jnp.where(mask, tgt, W).reshape(L, chunk)
-        return gmb.at[lane_ids, t2].set(rec.reshape(L, chunk),
-                                        mode="drop")
+        t2 = jnp.where(mask, tgt, W)
+        return gmb.at[lane, t2].set(rec, mode="drop")
 
-    d = jnp.zeros(cap, jnp.int32)
+    d = jnp.zeros(bs, jnp.int32)
     # L0
-    gmb = scat(gmb, has_l0, off, jnp.zeros(cap, jnp.int32),
+    gmb = scat(gmb, has_l0, off, jnp.zeros(bs, jnp.int32),
                (r == 0).astype(jnp.int32))
     d = d + has_l0.astype(jnp.int32)
     # RT
@@ -264,8 +285,9 @@ def _adapt(p, bit, upd, rate):
 
 @partial(jax.jit, static_argnames=("chunk",))
 def grc_lane_bits(ranks: jax.Array, m: jax.Array, chunk: int = GCHUNK):
-    """Event count per lane (elementwise + cumsum; no grid) — the
-    host sizes the encode grid W from its max."""
+    """(event count per lane int32[L], group-start count int32[]) —
+    the host sizes the encode grid W and the start bucket `bs` from
+    this pre-pass (elementwise + cumsum; no grid)."""
     cap = ranks.shape[0]
     L = cap // chunk
     pos = jnp.arange(cap, dtype=jnp.int32)
@@ -291,25 +313,38 @@ def grc_lane_bits(ranks: jax.Array, m: jax.Array, chunk: int = GCHUNK):
           + has_rank.astype(jnp.int32) * (1 + nRE + E)
           + is_start.astype(jnp.int32) * (1 + nUE + Ek))
     ev = jnp.where(is_start, ev, 0)
-    return ev.reshape(L, chunk).sum(axis=1)
+    return (ev.reshape(L, chunk).sum(axis=1),
+            jnp.sum(is_start.astype(jnp.int32)))
 
 
 def _stats_quant(gmb: jax.Array):
     """Block stats + integer init quantization from the event grid ->
-    (init_i int32[NM], cinit_i int32[NFAM], tot int32[NM])."""
-    fam = jnp.asarray(fam_of_model())
-    flat = gmb.reshape(-1)
-    mdl_f = jnp.maximum(flat // 2 - 1, 0)
-    used_f = flat > 0
-    bit_f = (flat & 1) * used_f.astype(jnp.int32)
-    tgt_f = jnp.where(used_f, mdl_f, 0)
-    tot = jnp.zeros((NM,), jnp.int32).at[tgt_f].add(
-        used_f.astype(jnp.int32))
-    ones = jnp.zeros((NM,), jnp.int32).at[tgt_f].add(bit_f)
-    ctgt = jnp.where(used_f, fam[mdl_f], 0)
-    ctot = jnp.zeros((NFAM,), jnp.int32).at[ctgt].add(
-        used_f.astype(jnp.int32))
-    cones = jnp.zeros((NFAM,), jnp.int32).at[ctgt].add(bit_f)
+    (init_i int32[NM], cinit_i int32[NFAM], tot int32[NM]).
+
+    Two scatter-adds, not four: the families partition the model id
+    space, so the coarse counts are segment-sums of the fine ones
+    (scatter-adds cost ~2 ms/M elements on the v5e — they were the
+    dominant -e2 encode op in the r4 trace)."""
+    # ONE histogram of the packed record value (rec = (m+1)*2+bit):
+    # tot/ones fall out as slice sums, so the four scatter-adds the r4
+    # trace measured at ~73 ms each collapse into a single one — and
+    # the grid is SUBSAMPLED 4x: the counts only seed the quantized
+    # wired inits (6/32 of the mix), where sampling noise over millions
+    # of events is far below the 1/4096 quantization grain.  Encoder
+    # and decoder both use the wired values, so the stream stays
+    # self-consistent; `grc_stats` remains the exact-count API.
+    flat = gmb.reshape(-1)[::4]
+    hist = jnp.zeros((2 * NM + 2,), jnp.int32).at[
+        jnp.minimum(flat, 2 * NM + 1)].add(1)
+    ones = hist[3::2]
+    tot = hist[2::2] + ones
+    bases = jnp.asarray(_FAM_BASES)
+    seg = jnp.cumsum(tot)
+    segc = jnp.concatenate([jnp.zeros((1,), jnp.int32), seg])[bases]
+    ctot = segc[1:] - segc[:-1]
+    sego = jnp.cumsum(ones)
+    segoc = jnp.concatenate([jnp.zeros((1,), jnp.int32), sego])[bases]
+    cones = segoc[1:] - segoc[:-1]
 
     def _quant(o, t):
         # o * SCALE overflows int32 once a model sees >2^19 events
@@ -415,15 +450,15 @@ def _reverse_rans(gmb: jax.Array, probs: jax.Array,
     return words, counts, x
 
 
-@partial(jax.jit, static_argnames=("chunk", "W"))
+@partial(jax.jit, static_argnames=("chunk", "W", "bs"))
 def grc_encode(ranks: jax.Array, m: jax.Array, W: int,
-               chunk: int = GCHUNK):
+               chunk: int = GCHUNK, bs: int | None = None):
     """ONE device program: binarize -> block stats -> init quantization
     -> forward model walk -> reverse rANS.
 
     -> (words uint16[L, W+2], counts int32[L], states uint32[L],
         inits uint16[NM], cinits uint16[NFAM], tot int32[NM])."""
-    gmb, lane_bits = _binarize(ranks, m, W, chunk)
+    gmb, lane_bits = _binarize(ranks, m, W, chunk, bs)
     init_i, cinit_i, tot = _stats_quant(gmb)
     nsteps = jnp.max(lane_bits)
     probs = _walk_probs(gmb, init_i, cinit_i, lane_bits)

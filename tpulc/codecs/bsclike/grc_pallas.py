@@ -191,9 +191,10 @@ def grc_walk_probs_pallas(gmb_t: jax.Array, init_i: jax.Array,
     )(jnp.reshape(nsteps.astype(jnp.int32), (1,)), pinit, cinit, gmb_t)
 
 
-@partial(jax.jit, static_argnames=("chunk", "W", "interpret"))
+@partial(jax.jit, static_argnames=("chunk", "W", "bs", "interpret"))
 def grc_encode_pallas(ranks: jax.Array, m: jax.Array, W: int,
-                      chunk: int = GCHUNK, interpret: bool = False):
+                      chunk: int = GCHUNK, bs: int | None = None,
+                      interpret: bool = False):
     """Drop-in twin of `grc.grc_encode` with the forward model walk in
     the VMEM-resident Pallas kernel (binarize / stats / reverse rANS
     stay XLA — they are scan/scatter shaped, not state-walk shaped)."""
@@ -203,7 +204,7 @@ def grc_encode_pallas(ranks: jax.Array, m: jax.Array, W: int,
         _stats_quant,
     )
 
-    gmb, lane_bits = _binarize(ranks, m, W, chunk)
+    gmb, lane_bits = _binarize(ranks, m, W, chunk, bs)
     init_i, cinit_i, tot = _stats_quant(gmb)
     nsteps = jnp.max(lane_bits)
     L = gmb.shape[0]
@@ -393,7 +394,20 @@ def _decode_kernel(chunk: int, nsteps_ref, pinit_ref, cinit_ref,
     carry0 = (x0_ref[0, :], z, jnp.zeros((chunk, NL), jnp.int32), z,
               z, z, z, z, z, z, z, z,
               z, z, z + 1, z + 1, z, cinit_ref[:, :])
-    carry = jax.lax.fori_loop(0, nsteps, body, carry0)
+
+    # Early exit once every lane in this tile has produced its symbols
+    # (nsteps is the GLOBAL max; padded/short tiles finish far sooner —
+    # on the r4 bench corpus 443 of 1024 lanes are pure padding).
+    def cond(tc):
+        t, carry = tc
+        opos = carry[3]
+        return (t < nsteps) & jnp.any(opos < nsym)
+
+    def step(tc):
+        t, carry = tc
+        return t + 1, body(t, carry)
+
+    _, carry = jax.lax.while_loop(cond, step, (jnp.int32(0), carry0))
     out_ref[:, :] = carry[2]
 
 

@@ -446,9 +446,13 @@ def abc_decode(words: jax.Array, counts: jax.Array, states: jax.Array,
 
 
 def bucket_bits(maxbits: int, lo: int = 256) -> int:
-    """Grid width bucket: power-of-two >= maxbits (one compile per
-    bucket, not per data-dependent width)."""
+    """Grid width bucket: smallest {1, 1.5}x2^k multiple of `lo` that
+    covers maxbits (two compiles per octave instead of one, for <=33%
+    grid slack instead of <=100% — every grid-wide op scales with W)."""
     b = lo
     while b < maxbits:
         b *= 2
+    three_q = (b // 2) * 3 // 2
+    if b > lo and three_q >= maxbits:
+        return three_q
     return b

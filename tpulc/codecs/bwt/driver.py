@@ -582,12 +582,14 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         per = [_compress_fused(jnp.asarray(blocks[b]), R, K, out_words,
                                nchunks) for b in range(B)]
 
-    def encode_one(b: int) -> bytes:
-        """Pull block b's meta row, pull a tight bucket of its stream,
-        serialize.  Runs in a worker thread so pulls and payload
-        assembly hide under the device programs of blocks b+1..B."""
-        meta_dev, words_dev = per[b]
-        mt_row = np.asarray(meta_dev)  # per-block D2H pull
+    # D2H through the axon tunnel costs ~25 ms RTT PER PULL (measured
+    # r4) on top of ~60 MB/s; per-block meta+words pulls were 2B round
+    # trips.  Stack on device and pull the whole batch's meta in ONE
+    # transfer, then all word buckets in a second (device compute for
+    # later blocks proceeds under the first pull).
+    def encode_one(b: int, mt_row, ent) -> bytes:
+        """Serialize block b from its (already pulled) meta row and
+        word bucket."""
         m, idx0, ok, use_mt, tb = (
             int(mt_row[0]), int(mt_row[1]), bool(mt_row[2]),
             bool(mt_row[3]), int(mt_row[4]),
@@ -602,8 +604,6 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         offs_all = mt_row[o: o + nchunks]
         used_chunks = max(1, -(-m // CHUNK_SYMS))
         nw = -(-tb // 32)
-        take = _bucket_words(nw, out_words)
-        ent = np.asarray(_take_words(words_dev, take))  # per-block pull
         if use_mt:
             used_tabs = np.unique(sels[:used_chunks])
             remap = np.zeros(K, np.uint8)
@@ -637,11 +637,15 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         payload += ent[:nw].astype("<u4").tobytes()
         return payload
 
-    from concurrent.futures import ThreadPoolExecutor
-
     with timing.stage("bz.entropy+pull"):
-        with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
-            payloads = list(ex.map(encode_one, range(B)))
+        metas_np = np.asarray(jnp.stack([per[b][0] for b in range(B)]))
+        # one bucket big enough for every block -> ONE stacked pull
+        take = max(_bucket_words(-(-int(metas_np[b][4]) // 32),
+                                 out_words) for b in range(B))
+        ents_np = np.asarray(jnp.stack(
+            [_take_words(per[b][1], take) for b in range(B)]))
+        payloads = [encode_one(b, metas_np[b], ents_np[b])
+                    for b in range(B)]
     return payloads
 
 
@@ -719,11 +723,11 @@ def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
     # the forward's vmap note below); block j's D2H pull threads under
     # blocks j+1..B's device compute.
     outs = [_inverse_packed(_row(dev, j), cap, w_pad, K) for j in range(B)]
-    from concurrent.futures import ThreadPoolExecutor
-
     with timing.stage("bz.inverse+pull"):
-        with ThreadPoolExecutor(max_workers=min(4, B)) as ex:
-            pulled = list(ex.map(np.asarray, outs))
+        # ONE stacked pull: each D2H round trip costs ~25 ms through
+        # the axon tunnel (measured r4), so B per-block pulls were
+        # paying B RTTs for data that fits one transfer.
+        pulled = np.asarray(jnp.stack(outs))
     return [pulled[j][: ns[j]] for j in range(B)]
 
 

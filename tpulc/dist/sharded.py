@@ -394,7 +394,7 @@ def sharded_grc_roundtrip(mesh: Mesh, block_size: int):
             n = local_ns[b]
             words, counts, states, inits, cinits, _tot = grc_encode(
                 r, n, W)
-            lane_bits = grc_lane_bits(r, n)
+            lane_bits, _nstarts = grc_lane_bits(r, n)
             dec = grc_decode(
                 words, counts, states, n, inits, cinits,
                 jnp.max(lane_bits), cap)
