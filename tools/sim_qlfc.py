@@ -101,7 +101,7 @@ def build_groups(ranks: np.ndarray, chunk: int):
 
 def decompose_groups(ranks: np.ndarray, chunk: int,
                      mant_cap: int = 64, run_mant_cap: int = 32,
-                     wide: bool = False):
+                     wide: bool = False, return_owner: bool = False):
     g = build_groups(ranks, chunk)
     r, k, lane = g["r"], g["k"], g["lane"]
     ng = len(r)
@@ -118,13 +118,14 @@ def decompose_groups(ranks: np.ndarray, chunk: int,
     rq = np.minimum(np.clip(r - 1, 0, None), 2) + (r == 0)   # 0..3
 
     n_exp_ctx = 16 if wide else 4     # RE secondary context width
+    maxek_lay = max(1, int(np.log2(chunk)))   # run exponent levels
     base_L0, n_L0 = 0, 1
     base_RT, n_RT = 1, (512 if wide else 256)
     base_RE, n_RE = base_RT + n_RT, 7 * n_exp_ctx
     base_RM, n_RM = base_RE + n_RE, 7 * mant_cap * (2 if wide else 1)
     base_UT, n_UT = base_RM + n_RM, 128
-    base_UE, n_UE = base_UT + n_UT, 40
-    base_UM, n_UM = base_UE + n_UE, 10 * run_mant_cap
+    base_UE, n_UE = base_UT + n_UT, maxek_lay * 4
+    base_UM, n_UM = base_UE + n_UE, maxek_lay * run_mant_cap
     nmodels = base_UM + n_UM
 
     mids, bits, gown, phase = [], [], [], []
@@ -217,13 +218,15 @@ def decompose_groups(ranks: np.ndarray, chunk: int,
     bb = np.concatenate(bits)
     ow = np.concatenate(gown)
     ph = np.concatenate(phase)
-    o = np.lexsort((ph, ow))
+    o = np.lexsort((ph, ow))  # events grouped by owner, phase-ordered
     fam = np.zeros(nmodels, np.int32)
     for fi, (b0, nn) in enumerate([(base_L0, n_L0), (base_RT, n_RT),
                                    (base_RE, n_RE), (base_RM, n_RM),
                                    (base_UT, n_UT), (base_UE, n_UE),
                                    (base_UM, n_UM)]):
         fam[b0: b0 + nn] = fi
+    if return_owner:
+        return mid[o], bb[o], g["lane"][ow[o]], nmodels, fam, ow[o]
     return mid[o], bb[o], g["lane"][ow[o]], nmodels, fam
 
 

@@ -158,12 +158,21 @@ def _decode_packet_records(pbytes, psize):
     jump_e = jnp.concatenate([jump, jnp.full((1,), capb, jnp.int32)])
     is_grp = orbit_flags(jump_e, capb, capb // 9 + 2) & (idx < psize)
 
-    # per-slot token layout within each group
-    fk = jnp.stack([(f >> k) & 1 for k in range(8)], axis=1)  # [capb, 8]
+    # COMPACT the group starts before extracting tokens: scatter/gather
+    # cost is per source element, and only ~1/9 of byte positions start
+    # a group — working on the compact [G, 8] grid instead of
+    # [capb, 8] cuts the record scatters and b0/b1 gathers ~9x.
+    G = capb // 9 + 2
+    key = jnp.where(is_grp, idx, capb + idx)
+    gpos = jax.lax.sort(key)[:G]                 # group starts, in order
+    g_ok = gpos < capb
+    gposc = jnp.minimum(gpos, capb - 1)
+    fg = pbytes[gposc].astype(jnp.int32)
+    fk = jnp.stack([(fg >> k) & 1 for k in range(8)], axis=1)  # [G, 8]
     sz = 2 - fk
     off_excl = jnp.cumsum(sz, axis=1) - sz                    # excl prefix
-    t = idx[:, None] + 1 + off_excl                           # token starts
-    exists = is_grp[:, None] & (t + sz <= psize)
+    t = gposc[:, None] + 1 + off_excl                         # token starts
+    exists = g_ok[:, None] & (t + sz <= psize)
     tc = jnp.minimum(t, capb - 2)
     b0 = pbytes[tc].astype(jnp.int32)
     b1 = pbytes[tc + 1].astype(jnp.int32)
@@ -172,7 +181,6 @@ def _decode_packet_records(pbytes, psize):
     # output byte position of each token: group-level exclusive cumsum
     # of per-group output + within-group exclusive prefix
     grp_out = jnp.sum(out_b, axis=1)
-    grp_out = jnp.where(is_grp, grp_out, 0)
     grp_pre = jnp.cumsum(grp_out) - grp_out
     outpos = grp_pre[:, None] + (jnp.cumsum(out_b, axis=1) - out_b)
 
@@ -219,7 +227,20 @@ def culzss_decode_block(pbuf: jax.Array, psizes: jax.Array):
         [jnp.ones((P, WIN), bool), lit_mask | ~valid], axis=1
     )
     src_full = jnp.where(root, pidx, src_full)
-    for _ in range(13):  # ceil(log2(PCKT+WIN))
-        src_full = jnp.take_along_axis(src_full, src_full, axis=1)
+
+    # pointer doubling to fixpoint: worst case ceil(log2(PCKT+WIN))=13
+    # rounds, but real chains resolve in a handful — each gather round
+    # costs ~4M elements, so the convergence check pays for itself.
+    def db_cond(st):
+        i, src, done = st
+        return (i < 13) & ~done
+
+    def db_step(st):
+        i, src, _ = st
+        nxt = jnp.take_along_axis(src, src, axis=1)
+        return i + 1, nxt, jnp.all(nxt == src)
+
+    _, src_full, _ = jax.lax.while_loop(
+        db_cond, db_step, (jnp.int32(0), src_full, jnp.bool_(False)))
     out = jnp.take_along_axis(val, src_full, axis=1)[:, WIN:]
     return out, outl
