@@ -127,19 +127,19 @@ def bench_huffman_decode_100mb(size: int = 100_000_000):
     groups = [c.payloads[i: i + hd.MAX_BATCH]
               for i in range(0, len(c.payloads), hd.MAX_BATCH)]
     preps = []
+    chunk = None
     for g in groups:
-        words_a, tbits_a, lens_a, offs_a, ns = hd._parse_aligned_group(
-            g, bs, 12)
+        words_a, tbits_a, lens_a, offs_a, ns, chunk = \
+            hd._parse_aligned_group(g, bs, 12)
         preps.append((jnp.asarray(words_a), jnp.asarray(tbits_a),
                       jnp.asarray(lens_a), jnp.asarray(offs_a)))
-    # warm
+    # warm (default kernel for this backend: buffered Pallas on TPU)
     for p in preps:
-        hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12).block_until_ready()
+        hd.decode_batch_device(*p, chunk, 12).block_until_ready()
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [hd._decode_batch_ranks(*p, hd.CHUNK_SYMS, 12)
-                for p in preps]
+        outs = [hd.decode_batch_device(*p, chunk, 12) for p in preps]
         for o in outs:
             o.block_until_ready()
         reps.append(time.perf_counter() - t0)
@@ -147,6 +147,7 @@ def bench_huffman_decode_100mb(size: int = 100_000_000):
     return {
         "input_MB": round(size / 1e6, 1),
         "compressed_MB": round(len(comp) / 1e6, 1),
+        "chunk_syms": chunk,
         "decode_kernel_s": round(dec_s, 4),
         "decode_GBps": round(size / 1e9 / dec_s, 3),
         "vs_cuhd_v100_66GBps": round(size / 1e9 / dec_s / 66.0, 4),

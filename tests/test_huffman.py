@@ -5,6 +5,8 @@ a slow numpy bit-serial codec is the oracle, plus Kraft/optimality
 checks on the package-merge lengths.
 """
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -174,3 +176,41 @@ def test_package_merge_device_matches_host():
                 package_merge_lengths_device(jnp.asarray(f.astype(np.int32)), L)
             )
             np.testing.assert_array_equal(want, got)
+
+
+def test_v2_wire_roundtrip_chunks():
+    """FLAG_ALIGNED2 (u16 delta offsets) round-trips at several chunk
+    sizes, including blocks whose tail chunk is partial."""
+    rng = np.random.default_rng(11)
+    data = rng.choice(
+        np.frombuffer(b"abcdefgh hello world", np.uint8), 150_001
+    ).tobytes()
+    for chunk in (64, 128, 256, 512):
+        comp = driver.compress(data, block_size=1 << 16,
+                               chunk_syms=chunk)
+        assert driver.decompress(comp) == data, chunk
+    # v1 absolute-offset wire still decodes
+    comp1 = driver.compress(data, block_size=1 << 16, chunk_syms=256)
+    assert driver.decompress(comp1) == data
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TPULC_TEST_TPU"),
+    reason="set TPULC_TEST_TPU=1 with a TPU attached (XLA:CPU compile "
+           "of the jit-of-interpret graph is pathologically slow)",
+)
+def test_buffered_kernel_matches_rank_decoder():
+    """The v2 buffered Pallas kernel is bit-identical to the XLA rank
+    decoder on a mixed batch with a partial tail block (on-chip; the
+    always-run CPU pinning of the same wire path is
+    test_v2_wire_roundtrip_chunks through the rank decoder, and
+    tests/tpu_kernels_check.py pins the production chunk=128 shape)."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__),
+                          "huff_interpret_check.py")
+    r = subprocess.run([sys.executable, script, "tpu"],
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0 and "EQUAL" in r.stdout, (
+        r.stdout[-500:], r.stderr[-500:])

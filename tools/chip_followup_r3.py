@@ -27,8 +27,8 @@ def main():
               for i in range(0, len(c.payloads), hd.MAX_BATCH)]
     preps = []
     for g in groups:
-        words_a, tbits_a, lens_a, offs_a, ns = hd._parse_aligned_group(
-            g, bs, 12)
+        words_a, tbits_a, lens_a, offs_a, ns, _chunk = \
+            hd._parse_aligned_group(g, bs, 12)
         preps.append((jnp.asarray(words_a), jnp.asarray(tbits_a),
                       jnp.asarray(lens_a), jnp.asarray(offs_a)))
 

@@ -543,11 +543,6 @@ MAX_BATCH = 16  # blocks per device round (bounds HBM working set)
 
 _BUCKET0 = 4096  # minimum D2H word-pull granularity (16 KiB)
 
-_row = jax.jit(
-    lambda x, i: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False)
-)
-
-
 def _bucket_words(nw: int, out_words: int) -> int:
     """Round a word count up to a power-of-two bucket (bounds the set of
     compiled truncation programs and keeps pulls tight)."""
@@ -638,14 +633,33 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         return payload
 
     with timing.stage("bz.entropy+pull"):
-        metas_np = np.asarray(jnp.stack([per[b][0] for b in range(B)]))
-        # one bucket big enough for every block -> ONE stacked pull
-        take = max(_bucket_words(-(-int(metas_np[b][4]) // 32),
-                                 out_words) for b in range(B))
-        ents_np = np.asarray(jnp.stack(
-            [_take_words(per[b][1], take) for b in range(B)]))
-        payloads = [encode_one(b, metas_np[b], ents_np[b])
-                    for b in range(B)]
+        # Per-block ASYNC host copies: block b's meta transfer rides
+        # under blocks b+1..B's device compute instead of waiting for
+        # the whole batch (the r4 trace showed the stacked pull adding
+        # a full tunnel RTT + transfer AFTER the last block finished).
+        for b in range(B):
+            per[b][0].copy_to_host_async()
+        metas_np = [np.asarray(per[b][0]) for b in range(B)]
+        # Speculative word bucket: block 0's meta arrives while later
+        # blocks still compute; size every block's pull from it so the
+        # LAST block's truncation+pull can dispatch without waiting
+        # for its own meta round trip.  Blocks that overflow the guess
+        # (rare: same-corpus blocks compress alike) re-pull exactly.
+        take0 = _bucket_words(-(-int(metas_np[0][4]) // 32), out_words)
+        ents = []
+        for b in range(B):
+            e = _take_words(per[b][1], take0)
+            e.copy_to_host_async()
+            ents.append(e)
+        payloads = []
+        for b in range(B):
+            nw = -(-int(metas_np[b][4]) // 32)
+            if nw > take0:
+                take_b = _bucket_words(nw, out_words)
+                ent_np = np.asarray(_take_words(per[b][1], take_b))
+            else:
+                ent_np = np.asarray(ents[b])
+            payloads.append(encode_one(b, metas_np[b], ent_np))
     return payloads
 
 
@@ -716,18 +730,21 @@ def _decompress_batch_packed(group: list[bytes], cap: int) -> list:
         arr[j, o: o + n_anch] = anchors.astype(np.uint32)
         o += n_anch
         arr[j, o: o + words.shape[0]] = words
-    with timing.stage("bz.inverse.upload"):
-        dev = jnp.asarray(arr)  # ONE upload for the batch
     # Per-block programs beat a vmapped batch here (measured on the
     # v5e: the batched inverse ran ~1.5x slower — the same effect as
-    # the forward's vmap note below); block j's D2H pull threads under
-    # blocks j+1..B's device compute.
-    outs = [_inverse_packed(_row(dev, j), cap, w_pad, K) for j in range(B)]
+    # the forward's vmap note below).  Upload per block too: block 0's
+    # inverse starts after ONE row's put instead of the whole batch's,
+    # and later rows upload under earlier blocks' compute; likewise
+    # each block's output copy is requested async the moment its
+    # program is dispatched, so D2H rides under the next block's
+    # compute and only the LAST block's pull is on the critical path.
+    outs = []
     with timing.stage("bz.inverse+pull"):
-        # ONE stacked pull: each D2H round trip costs ~25 ms through
-        # the axon tunnel (measured r4), so B per-block pulls were
-        # paying B RTTs for data that fits one transfer.
-        pulled = np.asarray(jnp.stack(outs))
+        for j in range(B):
+            o = _inverse_packed(jnp.asarray(arr[j]), cap, w_pad, K)
+            o.copy_to_host_async()
+            outs.append(o)
+        pulled = [np.asarray(o) for o in outs]
     return [pulled[j][: ns[j]] for j in range(B)]
 
 

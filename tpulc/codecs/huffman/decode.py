@@ -457,3 +457,57 @@ def huffman_decode_pallas_batch(
     del _p
     return jax.lax.map(one, (words, total_bits, lengths,
                              chunk_bit_offsets))
+
+
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len", "row_words",
+                                   "interpret"))
+def huffman_decode_buffered_batch(
+    words: jax.Array,          # uint32 [B, w_pad]
+    total_bits: jax.Array,     # int32 [B]
+    lengths: jax.Array,        # int32 [B, 256]
+    chunk_bit_offsets: jax.Array,  # int32 [B, ccap]
+    chunk_syms: int,
+    max_len: int,
+    row_words: int,
+    interpret: bool = False,
+):
+    """v2 batched aligned decode through the BUFFERED Pallas kernel
+    (`pallas_decode._kernel_buffered`): per-lane 64-bit bit reservoir,
+    one masked refill per symbol pair, static slab stores.  Same
+    contract as `huffman_decode_pallas_batch` — returns uint8
+    [B, ccap*chunk_syms]."""
+    from tpulc.codecs.huffman.device_tables import (
+        canonical_decode_params,
+    )
+    from tpulc.codecs.huffman.pallas_decode import (
+        decode_canonical_indices_buffered,
+    )
+
+    ccap = chunk_bit_offsets.shape[1]
+
+    def one(args):
+        w, tb, ln, of = args
+        lim, base, ss = canonical_decode_params(ln, max_len)
+        wp = jnp.concatenate([w, jnp.zeros((2,), jnp.uint32)])
+        lim_c = jnp.broadcast_to(lim[None, :], (ccap, max_len + 1))
+        base_c = jnp.broadcast_to(base[None, :], (ccap, max_len + 1))
+        ci = decode_canonical_indices_buffered(
+            wp, of, tb, lim_c, base_c, chunk_syms, max_len,
+            row_words=row_words, interpret=interpret,
+        )
+        flat = jnp.clip(ci.reshape(-1), 0, 255)
+        # rank -> symbol through the 16x16 factored map: generating a
+        # 256-wide one-hot costs ~256 VPU element-ops per symbol and
+        # was the decode's largest fusion (26.7 of 33 ms at 32 MB);
+        # two 16-wide one-hots + a [16,16] table contraction produce
+        # the same lookup at ~1/4 the element work.
+        ss16 = ss[:256].astype(jnp.bfloat16).reshape(16, 16)
+        oh_h = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
+        oh_l = jax.nn.one_hot(flat & 15, 16, dtype=jnp.bfloat16)
+        tmp = jnp.matmul(oh_h, ss16,
+                         precision=jax.lax.Precision.HIGHEST)
+        sym = jnp.sum(tmp * oh_l, axis=1)
+        return sym.astype(jnp.int32).astype(jnp.uint8)
+
+    return jax.lax.map(one, (words, total_bits, lengths,
+                             chunk_bit_offsets))

@@ -37,14 +37,19 @@ from tpulc.pipeline.registry import CODEC_HUFFMAN
 from tpulc.primitives.bits import pack_bits
 from tpulc.primitives.checksum import adler32_np
 
-CHUNK_SYMS = 256
+CHUNK_SYMS = 256      # v1 wire mode (32-bit absolute offsets)
+CHUNK_SYMS_V2 = 128   # v2 wire mode (16-bit offset deltas) — same
+                      # table overhead per symbol (0.125 bits), half
+                      # the Pallas row span (see pallas_decode v2)
 _BLOCK_HEAD = struct.Struct("<IIB")
 
 FLAG_ALIGNED = 1
+FLAG_ALIGNED2 = 2     # per-chunk u16 bit-length deltas + chunk_log u8
 
 
-@partial(jax.jit, static_argnames=("out_words", "nchunks"))
-def _encode_block(block, n, codes, lengths, out_words: int, nchunks: int):
+@partial(jax.jit, static_argnames=("out_words", "nchunks", "chunk_syms"))
+def _encode_block(block, n, codes, lengths, out_words: int, nchunks: int,
+                  chunk_syms: int = CHUNK_SYMS):
     """Jitted per-block encode. Padding symbols get zero length."""
     idx = block.astype(jnp.int32)
     valid = jnp.arange(block.shape[0], dtype=jnp.int32) < n
@@ -52,9 +57,9 @@ def _encode_block(block, n, codes, lengths, out_words: int, nchunks: int):
     sym_codes = jnp.where(valid, codes[idx], 0).astype(jnp.uint32)
     words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
     off = jnp.cumsum(sym_lens) - sym_lens
-    chunk_offsets = off[:: CHUNK_SYMS][:nchunks].astype(jnp.int32)
+    chunk_offsets = off[:: chunk_syms][:nchunks].astype(jnp.int32)
     # Chunks that start at/after n carry total_bits (empty range).
-    chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * CHUNK_SYMS) < n
+    chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32) * chunk_syms) < n
     chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
     return words, total_bits, chunk_offsets
 
@@ -66,44 +71,63 @@ def _decode_block_selfsync(words, total_bits, lut_sym, lut_len,
                           max_len, sub_bits=sub_bits)
 
 
-@partial(jax.jit, static_argnames=("max_len", "n_out"))
+@partial(jax.jit, static_argnames=("max_len", "n_out", "chunk_syms"))
 def _decode_block_aligned(words, total_bits, lut_sym, lut_len,
-                          max_len: int, n_out: int, bit_offsets):
+                          max_len: int, n_out: int, bit_offsets,
+                          chunk_syms: int = CHUNK_SYMS):
     return huffman_decode_uniform(
         words, total_bits, n_out, lut_sym, lut_len, max_len,
-        bit_offsets, CHUNK_SYMS,
+        bit_offsets, chunk_syms,
     )
 
 
 def compress_block(block: np.ndarray, max_len: int = DEFAULT_MAX_LEN,
-                   block_cap: int | None = None, aligned: bool = True) -> bytes:
+                   block_cap: int | None = None, aligned: bool = True,
+                   chunk_syms: int = CHUNK_SYMS_V2) -> bytes:
     """Compress one block (uint8) to a payload. `block_cap` fixes the
-    padded size so every block reuses one compiled program."""
+    padded size so every block reuses one compiled program.
+
+    `chunk_syms` selects the aligned wire mode: 256 writes the v1
+    layout (u32 absolute chunk offsets); any other power of two writes
+    the v2 layout (u16 per-chunk bit-length deltas — same bits per
+    symbol at 128, and the decoder rebuilds absolutes with one
+    cumsum)."""
     n = block.shape[0]
     cap = block_cap or n
     assert n <= cap
+    v2 = chunk_syms != CHUNK_SYMS
+    assert chunk_syms & (chunk_syms - 1) == 0
+    assert chunk_syms * max_len < (1 << 16) or not v2
     freqs = np.bincount(block, minlength=256)
     table = HuffmanTable.from_freqs(freqs, max_len)
     padded = np.zeros(cap, np.uint8)
     padded[:n] = block
     out_words = -(-cap * max_len // 32)
-    nchunks = max(1, -(-cap // CHUNK_SYMS))
+    nchunks = max(1, -(-cap // chunk_syms))
     words, total_bits, chunk_offsets = _encode_block(
         jnp.asarray(padded), jnp.int32(n),
         jnp.asarray(table.codes), jnp.asarray(table.lengths),
-        out_words, nchunks,
+        out_words, nchunks, chunk_syms,
     )
     total_bits = int(total_bits)
     nw = -(-total_bits // 32)
     words_np = np.asarray(words[:nw]).astype("<u4")
     lens = np.asarray(table.lengths, np.uint8)
     nibbles = (lens[0::2] | (lens[1::2] << 4)).tobytes()
-    mode = FLAG_ALIGNED if aligned else 0
+    mode = (FLAG_ALIGNED2 if v2 else FLAG_ALIGNED) if aligned else 0
     payload = _BLOCK_HEAD.pack(n, total_bits, mode) + nibbles
     if aligned:
-        used_chunks = max(1, -(-n // CHUNK_SYMS))
-        offs = np.asarray(chunk_offsets[:used_chunks]).astype("<u4")
-        payload += struct.pack("<I", used_chunks) + offs.tobytes()
+        used_chunks = max(1, -(-n // chunk_syms))
+        offs = np.asarray(chunk_offsets[:used_chunks]).astype(np.int64)
+        if v2:
+            ends = np.append(offs[1:], total_bits)
+            deltas = (ends - offs).astype("<u2")
+            payload += struct.pack(
+                "<BI", chunk_syms.bit_length() - 1, used_chunks
+            ) + deltas.tobytes()
+        else:
+            payload += struct.pack("<I", used_chunks) \
+                + offs.astype("<u4").tobytes()
     payload += words_np.tobytes()
     return payload
 
@@ -118,7 +142,16 @@ def decompress_block(payload: bytes, max_len: int = DEFAULT_MAX_LEN,
     lengths[0::2] = nib & 0xF
     lengths[1::2] = nib >> 4
     bit_offsets = None
-    if mode & FLAG_ALIGNED:
+    chunk_syms = CHUNK_SYMS
+    if mode & FLAG_ALIGNED2:
+        chunk_log, nchunks = struct.unpack("<BI", payload[off: off + 5])
+        off += 5
+        chunk_syms = 1 << chunk_log
+        deltas = np.frombuffer(payload[off: off + 2 * nchunks], "<u2")
+        off += 2 * nchunks
+        bit_offsets = np.cumsum(deltas.astype(np.int64)) - deltas
+        bit_offsets = bit_offsets.astype(np.int32)
+    elif mode & FLAG_ALIGNED:
         (nchunks,) = struct.unpack("<I", payload[off: off + 4])
         off += 4
         bit_offsets = np.frombuffer(
@@ -133,13 +166,13 @@ def decompress_block(payload: bytes, max_len: int = DEFAULT_MAX_LEN,
     words_p[:nw] = words
     table = HuffmanTable.from_lengths(lengths, max_len)
     if bit_offsets is not None:
-        ccap = max(1, -(-cap // CHUNK_SYMS))
+        ccap = max(1, -(-cap // chunk_syms))
         offs_p = np.full(ccap, total_bits, np.int32)
         offs_p[: bit_offsets.shape[0]] = bit_offsets
         out = _decode_block_aligned(
             jnp.asarray(words_p), jnp.int32(total_bits),
             jnp.asarray(table.lut_sym), jnp.asarray(table.lut_len),
-            max_len, cap, jnp.asarray(offs_p),
+            max_len, cap, jnp.asarray(offs_p), chunk_syms,
         )
         return np.asarray(out[:n])
     from tpulc.codecs.huffman.autotune import optimal_sub_bits
@@ -196,28 +229,44 @@ def _decode_batch_ranks(words, total_bits, lengths, offs,
 
 def _parse_aligned_group(group: list[bytes], cap: int, max_len: int):
     """Parse an all-aligned payload group into the fixed-shape batch
-    arrays `_decode_batch_ranks` consumes.  Returns None when some
-    block lacks the aligned offset table; else
+    arrays the batched decoders consume.  Returns None when some block
+    lacks the aligned offset table; else
     (words [Bp,w_pad] u32, tbits [Bp] i32, lens [Bp,256] i32,
-    offs [Bp,ccap] i32, ns list[int])."""
-    ccap = max(1, -(-cap // CHUNK_SYMS))
+    offs [Bp,ccap] i32, ns list[int], chunk_syms)."""
     parsed = []
+    chunk_syms = None
     for payload in group:
         n, total_bits, mode = _BLOCK_HEAD.unpack(payload[: _BLOCK_HEAD.size])
-        if not (mode & FLAG_ALIGNED):
+        if not (mode & (FLAG_ALIGNED | FLAG_ALIGNED2)):
             return None
         off = _BLOCK_HEAD.size
         nib = np.frombuffer(payload[off: off + 128], np.uint8)
         off += 128
-        (nchunks,) = struct.unpack("<I", payload[off: off + 4])
-        off += 4
-        bit_offsets = np.frombuffer(
-            payload[off: off + 4 * nchunks], "<u4"
-        )
-        off += 4 * nchunks
+        if mode & FLAG_ALIGNED2:
+            chunk_log, nchunks = struct.unpack(
+                "<BI", payload[off: off + 5])
+            off += 5
+            cs = 1 << chunk_log
+            deltas = np.frombuffer(payload[off: off + 2 * nchunks], "<u2")
+            off += 2 * nchunks
+            bit_offsets = (np.cumsum(deltas.astype(np.int64))
+                           - deltas).astype(np.uint32)
+        else:
+            cs = CHUNK_SYMS
+            (nchunks,) = struct.unpack("<I", payload[off: off + 4])
+            off += 4
+            bit_offsets = np.frombuffer(
+                payload[off: off + 4 * nchunks], "<u4"
+            )
+            off += 4 * nchunks
+        if chunk_syms is None:
+            chunk_syms = cs
+        elif chunk_syms != cs:
+            return None            # mixed chunking: per-block fallback
         nw = -(-total_bits // 32)
         words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
         parsed.append((n, total_bits, nib, bit_offsets, words))
+    ccap = max(1, -(-cap // chunk_syms))
     Bp = MAX_BATCH  # fixed batch shape: ONE compiled program per w_pad
     out_words = -(-cap * max_len // 32)
     nw_max = max(max((-(-p[1] // 32) for p in parsed)), 1)
@@ -233,7 +282,8 @@ def _parse_aligned_group(group: list[bytes], cap: int, max_len: int):
         lens_a[j, 1::2] = nib >> 4
         offs_a[j, :] = tb
         offs_a[j, : bit_offsets.shape[0]] = bit_offsets
-    return words_a, tbits_a, lens_a, offs_a, [p[0] for p in parsed]
+    return (words_a, tbits_a, lens_a, offs_a, [p[0] for p in parsed],
+            chunk_syms)
 
 
 def _decompress_batch_aligned(group: list[bytes], cap: int,
@@ -243,46 +293,72 @@ def _decompress_batch_aligned(group: list[bytes], cap: int,
     rank decode, no per-symbol LUT gather).  Returns None when some
     block lacks the aligned offset table (caller falls back).
 
-    On TPU backends the default is the Pallas masked-reduction kernel
-    (`decode.huffman_decode_pallas_batch`) — the word fetch becomes a
-    VMEM sublane reduction, leaving only the per-chunk row gather
-    (measured 0.183 vs 0.134 GB/s at 100 MB, r4 A/B).
-    TPULC_HUFF_PALLAS=0 forces the rank decoder."""
+    On TPU backends the default is the BUFFERED Pallas kernel
+    (`pallas_decode._kernel_buffered`): per-lane 64-bit bit reservoir,
+    one masked refill per symbol pair, static output stores — ~7x
+    fewer vector ops per symbol than the r3 masked-reduction kernel
+    (which itself measured 0.183 vs the rank decoder's 0.134 GB/s at
+    100 MB).  TPULC_HUFF_KERNEL=ranks|v1|buffered overrides."""
     import os
 
     prep = _parse_aligned_group(group, cap, max_len)
     if prep is None:
         return None
-    words_a, tbits_a, lens_a, offs_a, ns = prep
-    # Default flipped to the Pallas kernel after the r4 on-chip A/B at
-    # 100 MB: rank 0.134 GB/s vs Pallas 0.183 GB/s, outputs identical
-    # (tools/chip_followup_r3.py).  TPULC_HUFF_PALLAS=0 forces ranks.
-    env = os.environ.get("TPULC_HUFF_PALLAS")
-    want_pallas = env not in ("0", "") if env is not None else True
-    if want_pallas and jax.default_backend() not in ("cpu",):
+    words_a, tbits_a, lens_a, offs_a, ns, chunk = prep
+    syms = decode_batch_device(
+        jnp.asarray(words_a), jnp.asarray(tbits_a), jnp.asarray(lens_a),
+        jnp.asarray(offs_a), chunk, max_len,
+    )
+    pulled = np.asarray(syms)
+    return [pulled[j, : ns[j]] for j in range(len(ns))]
+
+
+def decode_batch_device(words_a, tbits_a, lens_a, offs_a,
+                        chunk: int, max_len: int):
+    """Dispatch one parsed aligned batch to the best decode kernel for
+    this backend (see `_decompress_batch_aligned`); returns the device
+    array uint8 [B, ccap*chunk] without pulling it to host."""
+    import os
+
+    kern = os.environ.get("TPULC_HUFF_KERNEL")
+    if kern is None:
+        kern = "ranks" if jax.default_backend() == "cpu" else "buffered"
+    if kern == "buffered":
+        from tpulc.codecs.huffman.decode import (
+            huffman_decode_buffered_batch,
+        )
+
+        need = -(-(31 + chunk * max_len) // 32) + 1
+        rw = -(-(31 + need) // 32) * 32
+        syms = huffman_decode_buffered_batch(
+            jnp.asarray(words_a), jnp.asarray(tbits_a),
+            jnp.asarray(lens_a), jnp.asarray(offs_a), chunk,
+            max_len, rw,
+        )
+    elif kern == "v1":
         from tpulc.codecs.huffman.decode import (
             huffman_decode_pallas_batch,
         )
 
-        need = -(-(31 + CHUNK_SYMS * max_len) // 32) + 1
+        need = -(-(31 + chunk * max_len) // 32) + 1
         rw = 1 << max(1, (need - 1).bit_length())
         syms = huffman_decode_pallas_batch(
             jnp.asarray(words_a), jnp.asarray(tbits_a),
-            jnp.asarray(lens_a), jnp.asarray(offs_a), CHUNK_SYMS,
+            jnp.asarray(lens_a), jnp.asarray(offs_a), chunk,
             max_len, rw,
         )
     else:
         syms = _decode_batch_ranks(
             jnp.asarray(words_a), jnp.asarray(tbits_a),
-            jnp.asarray(lens_a), jnp.asarray(offs_a), CHUNK_SYMS,
+            jnp.asarray(lens_a), jnp.asarray(offs_a), chunk,
             max_len,
         )
-    pulled = np.asarray(syms)
-    return [pulled[j, : ns[j]] for j in range(len(ns))]
+    return syms
 
 
 def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
-             max_len: int = DEFAULT_MAX_LEN, aligned: bool = True) -> bytes:
+             max_len: int = DEFAULT_MAX_LEN, aligned: bool = True,
+             chunk_syms: int = CHUNK_SYMS_V2) -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n = arr.shape[0]
@@ -290,7 +366,8 @@ def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
     for start in range(0, max(n, 1), block_size):
         block = arr[start: start + block_size]
         payloads.append(
-            compress_block(block, max_len, block_cap=block_size, aligned=aligned)
+            compress_block(block, max_len, block_cap=block_size,
+                           aligned=aligned, chunk_syms=chunk_syms)
         )
     c = Container(
         codec_id=CODEC_HUFFMAN, flags=FLAG_ALIGNED if aligned else 0,

@@ -160,3 +160,205 @@ def decode_canonical_indices(words_p: jax.Array,
                                memory_space=pltpu.VMEM),
     )(rows_t, pos_t, end_t, lim_t, base_t)
     return out[:, :nsub].T                          # [nsub, chunk_syms]
+
+
+# ---------------------------------------------------------------------
+# v2: buffered walk — sublane-packed lanes, one fetch per symbol pair
+# ---------------------------------------------------------------------
+#
+# The v1 kernel above pays, per symbol, two full masked sublane
+# reductions (the straddling word pair) plus an O(chunk_syms) masked
+# write of the whole output tile — and all its per-chunk state is 1-D
+# [128], which Mosaic lays out on a single sublane: 7/8 of the VPU
+# idles.  v2 restructures the walk three ways:
+#
+#   1. SUBLANE PACKING: 1024 chunks per grid step as [8, 128] state —
+#      every elementwise op runs on full (8,128) vregs.  Each sublane
+#      group s has its own [row_words, 128] stream plane.
+#   2. BIT RESERVOIR: per-chunk 64-bit buffer (hi, lo u32), stream-
+#      MSB-aligned.  A codeword is <= L <= 16 bits, so TWO symbols
+#      consume <= 32 bits: one conditional single-word refill per
+#      symbol PAIR replaces two per-symbol window reductions.
+#   3. STATIC STORES: the pair loop is fully unrolled (chunk_syms is
+#      a small static), so ranks leave as [64, 128] slabs at static
+#      offsets instead of masked rewrites.
+#
+# Net ~0.2 VPU-cycles/symbol at chunk_syms=128 vs ~10 for v1
+# (measured r4: 0.19 GB/s for both the v1 kernel and a lane-only v2 —
+# this layout is what buys the order of magnitude).
+
+_SL = 8  # sublane groups per tile: TILE = _SL * NL = 1024 chunks
+
+
+def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
+                     wrow_ref, pos_ref, end_ref, lim_ref, base_ref,
+                     out_ref):
+    L = max_len
+    assert 2 * L <= 32 and chunk_syms % 8 == 0
+    rw = row_words
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rw, NL), 0)
+    wplane = [wrow_ref[s * rw:(s + 1) * rw, :] for s in range(_SL)]
+    pos0 = pos_ref[:, :]                           # [8, NL] in [0,32)
+    end = end_ref[:, :]
+    # Loop-invariant per-length params, rebuilt as [8, NL] rows once.
+    lim2 = [None] * (L + 1)
+    base2 = [None] * (L + 1)
+    for l in range(1, L + 1):
+        lim2[l] = jnp.concatenate(
+            [lim_ref[s * (L + 1) + l, :][None, :] for s in range(_SL)],
+            axis=0)
+        base2[l] = jnp.concatenate(
+            [base_ref[s * (L + 1) + l, :][None, :] for s in range(_SL)],
+            axis=0)
+
+    # Rows are 32-word-aligned slices of the stream (the wrapper's
+    # stride-32 layout makes the HBM gather per-ROW, not per-element:
+    # measured 2.7 Grow/s vs 23 Mrow/s), so the in-row start position
+    # spans [0, 1024) bits: the initial word pair is a per-lane fetch.
+    fidx0 = pos0 >> 5                               # [8, NL] in [0, 32)
+    def _fetch(tgt):
+        planes = []
+        for s in range(_SL):
+            m = (sub == tgt[s, :][None, :]).astype(jnp.int32)
+            planes.append(jnp.sum(m * wplane[s], axis=0)[None, :])
+        return jnp.concatenate(planes, axis=0).astype(_U32)  # [8, NL]
+
+    w0 = _fetch(fidx0)
+    w1 = _fetch(fidx0 + 1)
+    b = (pos0 & 31).astype(_U32)
+    bl = jnp.where(b > 0, _U32(32) - b, _U32(1))
+    hi = (w0 << b) | jnp.where(b > 0, w1 >> bl, _U32(0))
+    lo = w1 << b
+    nav = 64 - (pos0 & 31)
+    fidx = fidx0 + 2
+    bits_left = end - pos0
+
+    rows = []
+    for p in range(chunk_syms // 2):
+        # conditional refill, once per pair
+        need = nav <= 32
+        w = _fetch(jnp.where(need, fidx, -1))
+        navu = jnp.clip(nav, 0, 31).astype(_U32)
+        shlo = jnp.clip(32 - nav, 0, 31).astype(_U32)
+        hi = hi | jnp.where(need & (nav < 32), w >> navu, _U32(0))
+        lo = lo | jnp.where(need & (nav > 0), w << shlo, _U32(0))
+        nav = nav + jnp.where(need, 32, 0)
+        fidx = fidx + jnp.where(need, 1, 0)
+        for _ in range(2):
+            win = (hi >> _U32(32 - L)).astype(jnp.int32)
+            ln = jnp.zeros((_SL, NL), jnp.int32)
+            ci = jnp.zeros((_SL, NL), jnp.int32)
+            found = jnp.zeros((_SL, NL), jnp.bool_)
+            for l in range(1, L + 1):
+                code = win >> (L - l)
+                hit = (~found) & (code < lim2[l])
+                ln = jnp.where(hit, l, ln)
+                ci = jnp.where(hit, base2[l] + code, ci)
+                found = found | hit
+            ln = jnp.where(found, ln, 1)           # corrupt-stream guard
+            active = bits_left > 0
+            rows.append(jnp.where(active, ci, 0))  # [8, NL]
+            st = jnp.where(active, ln, 0)
+            bits_left = bits_left - st
+            su = st.astype(_U32)
+            sl = jnp.where(st > 0, _U32(32) - su, _U32(1))
+            hi = (hi << su) | jnp.where(st > 0, lo >> sl, _U32(0))
+            lo = lo << su
+            nav = nav - st
+        if len(rows) == 8:
+            # rows r of the slab hold (t, s) = (r // 8, r % 8); the
+            # wrapper un-interleaves with one reshape/transpose.
+            slab = jnp.concatenate(rows, axis=0)   # [64, NL]
+            g = (2 * p + 2) // 8 - 1
+            out_ref[g * 64:(g + 1) * 64, :] = slab
+            rows = []
+
+
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len",
+                                   "row_words", "interpret"))
+def decode_canonical_indices_buffered(
+        words_p: jax.Array,
+        chunk_bit_offsets: jax.Array,
+        total_bits: jax.Array,
+        lim_chunk: jax.Array,
+        base_chunk: jax.Array,
+        chunk_syms: int,
+        max_len: int,
+        row_words: int,
+        interpret: bool = False) -> jax.Array:
+    """Same contract as `decode_canonical_indices`, via the buffered
+    sublane-packed kernel.  `row_words` must cover
+    ceil((31 + chunk_syms*L)/32) + 1 and be a multiple of 8."""
+    nsub = chunk_bit_offsets.shape[0]
+    TILE = _SL * NL
+    pad = -(-nsub // TILE) * TILE
+    T = pad // TILE
+    L = max_len
+    rw = row_words
+
+    # Per-chunk word rows via ONE aligned row gather: a dim-0 gather of
+    # 32-multiple-width rows from a stride-32 x3 overlapped layout runs
+    # at HBM bandwidth (measured 2.7 Grow/s on the v5e), while the
+    # arbitrary-start windowed gather this replaces lowered per-element
+    # (~23 Mrow/s — it WAS the decoder's wall at 80% of runtime).
+    need = -(-(31 + chunk_syms * L) // 32) + 1
+    assert 31 + need <= rw and rw % 32 == 0, (need, rw)
+    dup = rw // 32
+    Wp = words_p.shape[0]
+    R = -(-Wp // 32)
+    wz = jnp.concatenate(
+        [words_p, jnp.zeros(R * 32 - Wp + (dup - 1) * 32, jnp.uint32)])
+    lay = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(wz, 32 * d, R * 32).reshape(R, 32)
+         for d in range(dup)], axis=1)              # [R, rw]
+    srow = jnp.clip(chunk_bit_offsets >> 10, 0, R - 1)
+    rows = lay[srow]                                # [nsub, rw]
+    base_bits = srow << 10
+    pos_rel = chunk_bit_offsets - base_bits         # [0, 1024)
+    end_rel = jnp.minimum(
+        total_bits.astype(jnp.int32) - base_bits,
+        pos_rel + chunk_syms * L,
+    )
+
+    def padc(x, fill=0):
+        return jnp.pad(x, [(0, pad - nsub)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    # chunk c = (i*_SL + s) * NL + l  ->  tile i, sublane group s, lane l
+    rows_t = jax.lax.bitcast_convert_type(
+        padc(rows), jnp.int32
+    ).reshape(T, _SL, NL, rw).transpose(0, 1, 3, 2).reshape(
+        T * _SL * rw, NL)
+    pos_t = padc(pos_rel).reshape(T * _SL, NL)
+    end_t = padc(end_rel).reshape(T * _SL, NL)
+    lim_t = padc(lim_chunk).reshape(T, _SL, NL, L + 1).transpose(
+        0, 1, 3, 2).reshape(T * _SL * (L + 1), NL)
+    base_t = padc(base_chunk).reshape(T, _SL, NL, L + 1).transpose(
+        0, 1, 3, 2).reshape(T * _SL * (L + 1), NL)
+
+    out = pl.pallas_call(
+        partial(_kernel_buffered, max_len, chunk_syms, rw),
+        out_shape=jax.ShapeDtypeStruct((T * chunk_syms * _SL, NL),
+                                       jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((_SL * rw, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SL * (L + 1), NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SL * (L + 1), NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_syms * _SL, NL),
+                               lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows_t, pos_t, end_t, lim_t, base_t)
+    # out rows within a tile: r = t*_SL + s  (t = symbol index);
+    # un-interleave back to [chunk, symbol].
+    out = out.reshape(T, chunk_syms, _SL, NL).transpose(0, 2, 3, 1)
+    return out.reshape(pad, chunk_syms)[:nsub]
