@@ -356,7 +356,7 @@ def _inverse_packed(row, cap: int, w_pad: int, K: int = 1):
             canonical_decode_params,
         )
         from tpulc.codecs.huffman.pallas_decode import (
-            decode_canonical_indices,
+            decode_canonical_indices_buffered,
         )
 
         lim_k, base_k, ss_k = jax.vmap(
@@ -365,9 +365,14 @@ def _inverse_packed(row, cap: int, w_pad: int, K: int = 1):
         lim_chunk = jnp.take(lim_k, sel, axis=0)
         base_chunk = jnp.take(base_k, sel, axis=0)
         words_pp = jnp.concatenate([words, jnp.zeros((2,), jnp.uint32)])
-        ci = decode_canonical_indices(
+        # r4: the sublane-packed buffered kernel (see pallas_decode v2)
+        # replaces the r3 per-symbol masked-reduction walk — same
+        # 14x-class win the huffman codec measured at 100 MB.
+        need = -(-(31 + CHUNK_SYMS * MAX_LEN) // 32) + 1
+        rw = -(-(31 + need) // 32) * 32
+        ci = decode_canonical_indices_buffered(
             words_pp, offs, total_bits, lim_chunk, base_chunk,
-            CHUNK_SYMS, MAX_LEN,
+            CHUNK_SYMS, MAX_LEN, rw,
         )
         flat = jnp.clip(ci.reshape(-1)[:cap], 0, ALPHABET - 1)
         oh = jax.nn.one_hot(flat, ALPHABET, dtype=jnp.float32)
