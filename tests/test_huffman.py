@@ -214,3 +214,24 @@ def test_buffered_kernel_matches_rank_decoder():
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0 and "EQUAL" in r.stdout, (
         r.stdout[-500:], r.stderr[-500:])
+
+
+def test_buffered_kernel_interpret_tiny():
+    """Always-run interpret-mode pinning of the buffered kernel
+    (ADVICE r4: a default CPU run should exercise the production TPU
+    decode path at least once).  Runs in a subprocess because XLA:CPU
+    compile of the jit-of-interpret graph is nondeterministically
+    slow — a timeout skips rather than hangs the suite."""
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__),
+                          "huff_interpret_check.py")
+    try:
+        r = subprocess.run([sys.executable, script],
+                           capture_output=True, text=True, timeout=420)
+    except subprocess.TimeoutExpired:
+        pytest.skip("interpret-mode compile exceeded 420s (known "
+                    "XLA:CPU pathology)")
+    assert r.returncode == 0 and "EQUAL" in r.stdout, (
+        r.stdout[-500:], r.stderr[-500:])

@@ -645,12 +645,14 @@ def _encode_payloads(blocks: np.ndarray, ns: list[int]) -> list[bytes]:
         for b in range(B):
             per[b][0].copy_to_host_async()
         metas_np = [np.asarray(per[b][0]) for b in range(B)]
-        # Speculative word bucket: block 0's meta arrives while later
-        # blocks still compute; size every block's pull from it so the
-        # LAST block's truncation+pull can dispatch without waiting
-        # for its own meta round trip.  Blocks that overflow the guess
-        # (rare: same-corpus blocks compress alike) re-pull exactly.
-        take0 = _bucket_words(-(-int(metas_np[0][4]) // 32), out_words)
+        # Word bucket: all metas are on host by this point (the
+        # comprehension above materializes them in dispatch order), so
+        # size every block's pull from the batch MAXIMUM — no block can
+        # overflow, so no synchronous re-pull tail (ADVICE r4: sizing
+        # from block 0 alone serialized heterogeneous batches whose
+        # later blocks compress worse than block 0).
+        take0 = _bucket_words(
+            max(-(-int(m[4]) // 32) for m in metas_np), out_words)
         ents = []
         for b in range(B):
             e = _take_words(per[b][1], take0)

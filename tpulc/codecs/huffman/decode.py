@@ -511,3 +511,60 @@ def huffman_decode_buffered_batch(
 
     return jax.lax.map(one, (words, total_bits, lengths,
                              chunk_bit_offsets))
+
+
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len", "row_words",
+                                   "interpret"))
+def huffman_decode_flat_batch(
+    words: jax.Array,          # uint32 [B, w_pad]
+    total_bits: jax.Array,     # int32 [B]
+    lengths: jax.Array,        # int32 [B, 256]
+    chunk_bit_offsets: jax.Array,  # int32 [B, ccap]
+    chunk_syms: int,
+    max_len: int,
+    row_words: int,
+    interpret: bool = False,
+):
+    """v3 batched aligned decode: ALL blocks' chunks ride one pallas
+    grid (`pallas_decode._kernel_flat`), with rows bit-normalized
+    outside the kernel and the rank->symbol map applied to the whole
+    batch.  Same contract as `huffman_decode_buffered_batch`."""
+    from tpulc.codecs.huffman.device_tables import (
+        canonical_decode_params,
+    )
+    from tpulc.codecs.huffman.pallas_decode import (
+        decode_canonical_indices_flat,
+        normalize_rows,
+    )
+
+    B, w_pad = words.shape
+    ccap = chunk_bit_offsets.shape[1]
+    L = max_len
+    lim, base, ss = jax.vmap(
+        lambda ln: canonical_decode_params(ln, max_len))(lengths)
+    # left-justified limits: LJ[l] = lim[l] << (L-l) (nested regions)
+    shifts = (L - jnp.arange(L + 1, dtype=jnp.int32))[None, :]
+    lj = lim << shifts                              # [B, L+1]
+    rows_n = normalize_rows(words, chunk_bit_offsets, row_words)
+    bl = jnp.minimum(
+        total_bits[:, None] - chunk_bit_offsets, chunk_syms * L
+    ).reshape(-1)                                   # [nsub]
+    lj_c = jnp.repeat(lj, ccap, axis=0)
+    base_c = jnp.repeat(base, ccap, axis=0)
+    ci = decode_canonical_indices_flat(
+        rows_n, bl, lj_c, base_c, chunk_syms, max_len, row_words,
+        interpret=interpret)
+    ranks = ci.reshape(B, ccap * chunk_syms)
+
+    def _map_one(args):
+        r, o = args
+        flat = jnp.clip(r, 0, 255)
+        ss16 = o[:256].astype(jnp.bfloat16).reshape(16, 16)
+        oh_h = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
+        oh_l = jax.nn.one_hot(flat & 15, 16, dtype=jnp.bfloat16)
+        tmp = jnp.matmul(oh_h, ss16,
+                         precision=jax.lax.Precision.HIGHEST)
+        sym = jnp.sum(tmp * oh_l, axis=1)
+        return sym.astype(jnp.int32).astype(jnp.uint8)
+
+    return jax.lax.map(_map_one, (ranks, ss))

@@ -98,6 +98,13 @@ def compress_block(block: np.ndarray, max_len: int = DEFAULT_MAX_LEN,
     v2 = chunk_syms != CHUNK_SYMS
     assert chunk_syms & (chunk_syms - 1) == 0
     assert chunk_syms * max_len < (1 << 16) or not v2
+    # The TPU buffered decode kernel requires chunk_syms % 8 == 0;
+    # reject at compress time instead of failing with an opaque
+    # trace-time assertion at decompress time (ADVICE r4).
+    if aligned and chunk_syms % 8 != 0:
+        raise ValueError(
+            f"chunk_syms={chunk_syms} must be a multiple of 8 "
+            "(TPU decode kernel constraint)")
     freqs = np.bincount(block, minlength=256)
     table = HuffmanTable.from_freqs(freqs, max_len)
     padded = np.zeros(cap, np.uint8)
@@ -313,6 +320,18 @@ def _decompress_batch_aligned(group: list[bytes], cap: int,
     return [pulled[j, : ns[j]] for j in range(len(ns))]
 
 
+def flat_row_words(chunk: int, max_len: int) -> int:
+    """Row width for the v3 flat kernel: the deepest refill word index
+    (pallas_decode._kernel_flat's static window bound at the last
+    pair) + the 7-word rotation margin of `normalize_rows`, rounded to
+    a multiple of 8."""
+    from tpulc.codecs.huffman.pallas_decode import _WSLACK
+
+    p_last = chunk // 2 - 1
+    w_hi = 2 + _WSLACK + max(0, (2 * max_len * p_last - 32) // 32)
+    return -(-(w_hi + 1 + 7) // 8) * 8
+
+
 def decode_batch_device(words_a, tbits_a, lens_a, offs_a,
                         chunk: int, max_len: int):
     """Dispatch one parsed aligned batch to the best decode kernel for
@@ -320,10 +339,26 @@ def decode_batch_device(words_a, tbits_a, lens_a, offs_a,
     array uint8 [B, ccap*chunk] without pulling it to host."""
     import os
 
+    if os.environ.get("TPULC_HUFF_PALLAS"):
+        import warnings
+
+        warnings.warn("TPULC_HUFF_PALLAS is obsolete (r3); use "
+                      "TPULC_HUFF_KERNEL=ranks|v1|buffered", stacklevel=2)
     kern = os.environ.get("TPULC_HUFF_KERNEL")
     if kern is None:
-        kern = "ranks" if jax.default_backend() == "cpu" else "buffered"
-    if kern == "buffered":
+        kern = "ranks" if jax.default_backend() == "cpu" else "flat"
+    elif kern not in ("ranks", "v1", "buffered", "flat"):
+        raise ValueError(
+            f"TPULC_HUFF_KERNEL={kern!r}: expected ranks|v1|buffered|flat")
+    if kern == "flat":
+        from tpulc.codecs.huffman.decode import huffman_decode_flat_batch
+
+        syms = huffman_decode_flat_batch(
+            jnp.asarray(words_a), jnp.asarray(tbits_a),
+            jnp.asarray(lens_a), jnp.asarray(offs_a), chunk,
+            max_len, flat_row_words(chunk, max_len),
+        )
+    elif kern == "buffered":
         from tpulc.codecs.huffman.decode import (
             huffman_decode_buffered_batch,
         )

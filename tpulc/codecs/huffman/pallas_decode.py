@@ -362,3 +362,200 @@ def decode_canonical_indices_buffered(
     # un-interleave back to [chunk, symbol].
     out = out.reshape(T, chunk_syms, _SL, NL).transpose(0, 2, 3, 1)
     return out.reshape(pad, chunk_syms)[:nsub]
+
+
+# ---------------------------------------------------------------------
+# v3: flat whole-batch walk — bit-normalized rows, interleaved planes,
+# statically-bounded refill windows, monotone left-justified chain
+# ---------------------------------------------------------------------
+#
+# v2 still pays three structural taxes that a kernel restructure
+# removes (r5):
+#
+#   1. PER-BLOCK DISPATCH: the batch wrapper lax.map's over blocks, so
+#      a 100 MB decode issues ~100 sequential pallas programs plus 100
+#      wrapper transposes and rank->symbol maps.  v3 flattens every
+#      block's chunks into ONE grid (the per-chunk lim/base tables
+#      already made the kernel block-agnostic).
+#   2. POSITION BOOKKEEPING: v2 fetches the initial straddling word
+#      pair with two masked reductions and tracks an in-row bit
+#      position.  v3 normalizes each chunk's row OUTSIDE the kernel
+#      (word-rotate + funnel bit-shift, a fused elementwise XLA pass)
+#      so every stream starts at bit 0 of word 0: the initial fill is
+#      a static slice and `pos` disappears from the kernel state.
+#   3. FULL-ROW REFILL MASKS: v2's per-pair refill reduces over all
+#      row_words sublanes.  With normalized rows the refill word index
+#      at pair p is provably inside
+#          [2 + max(0, ceil((2p-64)/32)), 2 + max(0, (2Lp-32)//32)]
+#      (codeword length in [1, L], L <= 16, reservoir never exceeds
+#      64 bits), so the reduction window is static per unrolled pair
+#      and grows from 1 word to ~3p/4 — ~2.5x fewer fetch ops.
+#
+# The codeword classifier also drops from a ~7-op-per-length predicated
+# chain to a monotone count: left-justified canonical code regions are
+# nested, so with LJ[l] = lim[l] << (L-l),
+#     len(win) = 1 + sum_{l=1}^{L-1} (win >= LJ[l])
+# (2 ops per length), and only the base[] lookup keeps a select chain.
+
+_WSLACK = 1  # extra refill-window word each side (defensive margin)
+
+
+def _kernel_flat(max_len: int, chunk_syms: int, row_words: int,
+                 w_ref, bl_ref, lj_ref, base_ref, out_ref):
+    L = max_len
+    rw = row_words
+    assert 2 * L <= 32 and chunk_syms % 2 == 0
+
+    def Wi(w):                                     # int32 [8, NL]
+        return w_ref[w * _SL:(w + 1) * _SL, :]
+
+    lj = [None] + [lj_ref[l * _SL:(l + 1) * _SL, :] for l in range(1, L + 1)]
+    base = [None] + [base_ref[l * _SL:(l + 1) * _SL, :]
+                     for l in range(1, L + 1)]
+    bits_left = bl_ref[:, :]                       # [8, NL] i32
+    hi = Wi(0).astype(_U32)
+    lo = Wi(1).astype(_U32)
+    nav = jnp.full((_SL, NL), 64, jnp.int32)
+    fidx = jnp.full((_SL, NL), 2, jnp.int32)
+
+    for p in range(chunk_syms // 2):
+        # refill (once per symbol pair): bounded-window masked fetch
+        need = nav <= 32
+        w_lo = max(2, 2 - _WSLACK + max(0, -(-(2 * p - 64) // 32)))
+        w_hi = min(rw - 1, 2 + _WSLACK + max(0, (2 * L * p - 32) // 32))
+        tgt = jnp.where(need, fidx, -1)
+        acc = jnp.zeros((_SL, NL), jnp.int32)
+        for w in range(w_lo, w_hi + 1):
+            acc = acc + jnp.where(tgt == w, Wi(w), 0)
+        wv = acc.astype(_U32)
+        navu = jnp.clip(nav, 0, 31).astype(_U32)
+        shlo = jnp.clip(32 - nav, 0, 31).astype(_U32)
+        hi = hi | jnp.where(need & (nav < 32), wv >> navu, _U32(0))
+        lo = lo | jnp.where(need & (nav > 0), wv << shlo, _U32(0))
+        nav = nav + jnp.where(need, 32, 0)
+        fidx = fidx + jnp.where(need, 1, 0)
+        for k in range(2):
+            win = (hi >> _U32(32 - L)).astype(jnp.int32)
+            ln = jnp.ones((_SL, NL), jnp.int32)
+            for l in range(1, L):
+                ln = ln + (win >= lj[l]).astype(jnp.int32)
+            found = win < lj[L]
+            ln = jnp.where(found, ln, 1)
+            code = win >> jnp.clip(L - ln, 0, 31)
+            bsel = jnp.zeros((_SL, NL), jnp.int32)
+            for l in range(1, L + 1):
+                bsel = jnp.where(ln == l, base[l], bsel)
+            ci = jnp.where(found, bsel + code, 0)
+            active = bits_left > 0
+            t = 2 * p + k
+            out_ref[t * _SL:(t + 1) * _SL, :] = jnp.where(active, ci, 0)
+            st = jnp.where(active, ln, 0)
+            bits_left = bits_left - st
+            su = st.astype(_U32)
+            sl = jnp.where(st > 0, _U32(32) - su, _U32(1))
+            hi = (hi << su) | jnp.where(st > 0, lo >> sl, _U32(0))
+            lo = lo << su
+            nav = nav - st
+
+
+@partial(jax.jit, static_argnames=("chunk_syms", "max_len", "row_words",
+                                   "interpret"))
+def decode_canonical_indices_flat(
+        rows_norm: jax.Array,      # uint32 [nsub, rw] bit-normalized
+        bits_left: jax.Array,      # int32 [nsub]
+        lj_chunk: jax.Array,       # int32 [nsub, L+1] left-justified lims
+        base_chunk: jax.Array,     # int32 [nsub, L+1]
+        chunk_syms: int,
+        max_len: int,
+        row_words: int,
+        interpret: bool = False) -> jax.Array:
+    """Whole-batch buffered decode: every chunk of every block in one
+    pallas grid.  Rows must be bit-normalized (stream starts at bit 0
+    of word 0; see `normalize_rows`).  Returns int32[nsub, chunk_syms]
+    canonical indices (0 past each chunk's end)."""
+    nsub = rows_norm.shape[0]
+    L = max_len
+    rw = row_words
+    assert rows_norm.shape[1] == rw and rw % 8 == 0
+    TILE = _SL * NL
+    pad = -(-nsub // TILE) * TILE
+    T = pad // TILE
+
+    def padc(x, fill=0):
+        return jnp.pad(x, [(0, pad - nsub)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    # chunk c = (i*_SL + s)*NL + lane; in-tile word plane row = w*8 + s
+    rows_t = jax.lax.bitcast_convert_type(
+        padc(rows_norm), jnp.int32
+    ).reshape(T, _SL, NL, rw).transpose(0, 3, 1, 2).reshape(
+        T * rw * _SL, NL)
+    bl_t = padc(bits_left).reshape(T * _SL, NL)
+    lj_t = padc(lj_chunk).reshape(T, _SL, NL, L + 1).transpose(
+        0, 3, 1, 2).reshape(T * (L + 1) * _SL, NL)
+    base_t = padc(base_chunk).reshape(T, _SL, NL, L + 1).transpose(
+        0, 3, 1, 2).reshape(T * (L + 1) * _SL, NL)
+
+    out = pl.pallas_call(
+        partial(_kernel_flat, max_len, chunk_syms, rw),
+        out_shape=jax.ShapeDtypeStruct((T * chunk_syms * _SL, NL),
+                                       jnp.int32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((rw * _SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((L + 1) * _SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(((L + 1) * _SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_syms * _SL, NL), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows_t, bl_t, lj_t, base_t)
+    # in-tile out row = t*_SL + s  ->  [chunk, symbol]
+    out = out.reshape(T, chunk_syms, _SL, NL).transpose(0, 2, 3, 1)
+    return out.reshape(pad, chunk_syms)[:nsub]
+
+
+def normalize_rows(words: jax.Array, offs: jax.Array, row_words: int):
+    """Gather + bit-normalize each chunk's stream row.
+
+    words: uint32 [B, w_pad]; offs: int32 [B, ccap] absolute bit
+    offsets.  Returns uint32 [B*ccap, row_words] rows whose bit 0 of
+    word 0 is each chunk's first stream bit.  All fused elementwise +
+    one aligned dim-0 row gather (the fast XLA gather form; arbitrary-
+    start windowed gathers lower per-element).
+    """
+    B, w_pad = words.shape
+    ccap = offs.shape[1]
+    rw = row_words
+    dup = rw // 8
+    R = -(-w_pad // 8)
+    wz = jnp.concatenate(
+        [words,
+         jnp.zeros((B, R * 8 - w_pad + (dup - 1) * 8), jnp.uint32)],
+        axis=1)
+    # 256-bit-aligned overlapped layout: row r covers words [8r, 8r+rw)
+    lay = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(wz, 8 * d, R * 8, axis=1)
+            .reshape(B, R, 8)
+         for d in range(dup)], axis=2)              # [B, R, rw]
+    offs_f = offs.reshape(-1)
+    srow = jnp.clip(offs_f >> 8, 0, R - 1)
+    bidx = (jnp.arange(B * ccap, dtype=jnp.int32) // ccap) * R
+    rows = lay.reshape(B * R, rw)[srow + bidx]      # [nsub, rw]
+    # word-rotate left by fidx0 in [0, 8)
+    fidx0 = ((offs_f - (srow << 8)) >> 5)[:, None]  # [nsub, 1]
+    rot = jnp.zeros_like(rows)
+    for k in range(8):
+        rot = rot + jnp.where(fidx0 == k, jnp.roll(rows, -k, axis=1), 0)
+    # funnel bit-shift left by (offs & 31)
+    sh = (offs_f & 31).astype(jnp.uint32)[:, None]
+    rnext = jnp.concatenate(
+        [rot[:, 1:], jnp.zeros((B * ccap, 1), jnp.uint32)], axis=1)
+    rows_n = jnp.where(
+        sh > 0, (rot << sh) | (rnext >> (jnp.uint32(32) - sh)), rot)
+    return rows_n
