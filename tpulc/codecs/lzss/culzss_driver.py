@@ -83,14 +83,46 @@ def decompress_block(payload: bytes, raw_size: int, block_cap: int) -> np.ndarra
 
 
 def compress(data: bytes | np.ndarray, block_size: int = 1 << 20) -> bytes:
+    """All blocks' packets encode in ONE device call (mirror of the
+    batched decode below): the per-block loop cost was 4+ serial
+    dispatch+pull round trips through the device tunnel per corpus."""
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n = arr.shape[0]
+    starts = list(range(0, max(n, 1), block_size))
+    caps = [-(-max(min(n - s, block_size), 1) // PCKT) * PCKT
+            for s in starts]
+    Ptot = sum(c // PCKT for c in caps)
+    Ppad = 1 << max(1, (Ptot - 1).bit_length())
+    grid = np.zeros(Ppad * PCKT, np.uint8)
+    o = 0
+    for s, cap in zip(starts, caps):
+        chunk = arr[s: s + block_size]
+        grid[o: o + chunk.shape[0]] = chunk
+        o += cap
+    out, sizes, _ = culzss_encode_block(jnp.asarray(grid))
+    out = np.asarray(out)
+    sizes = np.asarray(sizes)
     payloads = []
-    for start in range(0, max(n, 1), block_size):
-        payloads.append(
-            compress_block(arr[start: start + block_size], block_size)
-        )
+    o = 0
+    for s, cap in zip(starts, caps):
+        P = cap // PCKT
+        parts = [struct.pack("<I", P)]
+        size_tab = np.zeros(P, "<u2")
+        bodies = []
+        for j in range(P):
+            sz = int(sizes[o + j])
+            if sz >= PCKT:  # incompressible packet: store raw
+                size_tab[j] = RAW_FLAG | PCKT
+                bodies.append(
+                    grid[(o + j) * PCKT: (o + j + 1) * PCKT].tobytes())
+            else:
+                size_tab[j] = sz
+                bodies.append(out[o + j, :sz].tobytes())
+        parts.append(size_tab.tobytes())
+        parts.extend(bodies)
+        payloads.append(b"".join(parts))
+        o += P
     c = Container(
         codec_id=CODEC_LZSS_CULZSS, flags=0, orig_len=n,
         block_size=block_size, comp_sizes=[len(p) for p in payloads],

@@ -106,24 +106,25 @@ def _exact_best_match(padded: jax.Array, n_total: int, n: int):
                 spos - prev_pos >= l
             )
             src = jnp.where(ok, prev_pos, src)
-        src_lin = jnp.full((n_total,), -1, jnp.int32).at[spos].set(src)
-        s = src_lin[pos_pad]
+        # dense rank of the l-gram groups -> next key
+        grp = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                (skey[1:] != skey[:-1]).astype(jnp.int32),
+            ]
+        )
+        # un-permute src and rank in ONE key-value sort (a scatter costs
+        # ~4x a sort on TPU; the old form paid two scatters per length)
+        _, src_lin, rank = jax.lax.sort(
+            (spos, src, jnp.cumsum(grp)), num_keys=1
+        )
+        s = src_lin[WINDOW: WINDOW + n]          # pos_pad is iota+WINDOW
         valid = (s >= 0) & (s >= pos_pad - WINDOW) & (
             (pos_pad - WINDOW) + l <= n
         )
         best_len = jnp.where(valid, l, best_len)
         best_src = jnp.where(valid, s, best_src)
         if l < MAX_CODED:
-            # dense rank of the l-gram groups -> next key
-            grp = jnp.concatenate(
-                [
-                    jnp.zeros((1,), jnp.int32),
-                    (skey[1:] != skey[:-1]).astype(jnp.int32),
-                ]
-            )
-            rank = jnp.zeros((n_total,), jnp.int32).at[spos].set(
-                jnp.cumsum(grp)
-            )
             nxt = jnp.roll(p3, -l)
             key = rank * 256 + jnp.where(idx < n_total - l, nxt, 0)
             key = jnp.where(idx < n_total - l, key, (1 << 30) + idx)
@@ -138,14 +139,18 @@ def _stitched_best(padded: jax.Array, n: int):
     pos = jnp.arange(n, dtype=jnp.int32) + WINDOW
     best_len = jnp.zeros((n,), jnp.int32)
     best_src = jnp.zeros((n,), jnp.int32)
+    # All index vectors here are iota + static shift, so every read is a
+    # STATIC SLICE of `padded` — the previous gather form lowered to
+    # ~300 full-size per-element gathers and dominated exact-mode
+    # encode time.
+    cur = [padded[WINDOW + j: WINDOW + j + n] for j in range(MAX_CODED)]
     for c in range(1, MAX_CODED):
         still = jnp.ones((n,), bool)
         ln = jnp.zeros((n,), jnp.int32)
         for j in range(MAX_CODED):
-            srcb = padded[pos - c + j] if j < c else padded[
-                pos - WINDOW + (j - c)
-            ]
-            still = still & (srcb == padded[pos + j])
+            srcb = (padded[WINDOW - c + j: WINDOW - c + j + n]
+                    if j < c else padded[j - c: j - c + n])
+            still = still & (srcb == cur[j])
             ln = ln + still.astype(jnp.int32)
         # only a true stitch (first segment fully matched) may exceed c
         ln = jnp.minimum(ln, jnp.where(ln >= c, MAX_CODED, c))
