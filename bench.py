@@ -104,6 +104,15 @@ def _median(xs):
     return s[len(s) // 2]
 
 
+def _progress(tag, obj):
+    """Stream each completed section to stderr immediately — a crashed
+    or killed run still leaves every finished row on record (the r5
+    full-matrix run died silently after 45 min with nothing written)."""
+    import sys
+
+    print("##", tag, json.dumps(obj), file=sys.stderr, flush=True)
+
+
 def bench_huffman_decode_100mb(size: int = 100_000_000):
     """CUHD's headline setup (`/root/reference/README.md:107-117`:
     100 MB decoded in 1,520 us on a V100 == 66 GB/s): decode-only GB/s
@@ -195,6 +204,7 @@ def main():
         r = bench_roundtrip("huffman", data, block_size=1 << 20)
         metric = "huffman_roundtrip_MBps"
     value = r["roundtrip_mbps"]
+    _progress(metric, {"MBps": round(value, 3), "ratio": round(r["ratio"], 3)})
     detail = {
         "corpus": "pg1661x6 == reference testdata/largefile",
         "compress_s": round(r["compress_s"], 4),
@@ -218,16 +228,20 @@ def main():
                 ),
                 "vs_libbsc_ratio": round(rb["ratio"] / BASELINE_BSC_RATIO, 3),
             }
+            _progress(key, detail[key])
         except Exception as e:  # pragma: no cover - diagnostics only
             detail[key] = {"error": str(e)[:80]}
+            _progress(key, detail[key])
     # CUHD-class decode throughput (BASELINE.md row 16): decode-only
     # GB/s on a 100 MB input, kernel time.  Skippable via
     # TPULC_BENCH_NO_HUFF100 if the round budget is tight.
     if not os.environ.get("TPULC_BENCH_NO_HUFF100"):
         try:
             detail["huffman_decode_100MB"] = bench_huffman_decode_100mb()
+            _progress("huffman_decode_100MB", detail["huffman_decode_100MB"])
         except Exception as e:  # pragma: no cover - diagnostics only
             detail["huffman_decode_100MB"] = {"error": str(e)[:120]}
+            _progress("huffman_decode_100MB", detail["huffman_decode_100MB"])
     # TPULC_BENCH_FULL=1 adds the rest of the per-codec matrix on both
     # corpora; the headline metric/line stays identical.
     if os.environ.get("TPULC_BENCH_FULL"):
@@ -242,8 +256,10 @@ def main():
                 "compress_s": round(r100["compress_s"], 2),
                 "decompress_s": round(r100["decompress_s"], 2),
             }
+            _progress("bz_100MB", detail["bz_100MB"])
         except Exception as e:  # pragma: no cover
             detail["bz_100MB"] = {"error": str(e)[:100]}
+            _progress("bz_100MB", detail["bz_100MB"])
         # bsc 100 MB row (VERDICT r4 missing #5: enwik-class per-chip
         # numbers for the bsc pipeline, where transfer amortizes).
         try:
@@ -256,8 +272,10 @@ def main():
                 "compress_s": round(r100["compress_s"], 2),
                 "decompress_s": round(r100["decompress_s"], 2),
             }
+            _progress("bsc_100MB", detail["bsc_100MB"])
         except Exception as e:  # pragma: no cover
             detail["bsc_100MB"] = {"error": str(e)[:100]}
+            _progress("bsc_100MB", detail["bsc_100MB"])
         corpora = {"pg": data, "soup": make_soup(SIZE)}
         matrix = {}
         for cname, cdata in corpora.items():
@@ -280,6 +298,7 @@ def main():
                     }
                 except Exception as e:  # pragma: no cover
                     codecs[name] = {"error": str(e)[:80]}
+                _progress(f"{cname}.{name}", codecs[name])
             matrix[cname] = codecs
         detail["codecs"] = matrix
     # second reading: catches mid-run tunnel degradation

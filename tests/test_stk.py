@@ -79,3 +79,38 @@ def test_st_context_keys_masked(k):
     hi, lo = st_context_keys(last, k=k)
     np.testing.assert_array_equal(np.asarray(hi_m)[:n], np.asarray(hi))
     np.testing.assert_array_equal(np.asarray(lo_m)[:n], np.asarray(lo))
+
+
+def test_st_device_decode_with_next_stream():
+    """The wired next-char stream F makes inverse ST a static
+    permutation (child/parent (k+1)-gram occurrences pair in position
+    order): encode+decode fully on device must reproduce the input, for
+    several k and content shapes, including idx0 != 0 and repetitive
+    input."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpulc.codecs.bwt.stk import (
+        st_decode_device,
+        st_encode,
+        st_encode_with_next,
+    )
+
+    rng = np.random.default_rng(5)
+    with open("tests/data/pg1661.txt", "rb") as f:
+        text = np.frombuffer(f.read()[:20000], np.uint8)
+    cases = [
+        rng.integers(0, 4, 77).astype(np.uint8),
+        rng.choice(np.frombuffer(b"the quick brown fox! ", np.uint8),
+                   3000).astype(np.uint8),
+        text,
+        np.tile(np.frombuffer(b"abcabcab", np.uint8), 40),  # periodic
+    ]
+    for k in (3, 5, 8):
+        for data in cases:
+            last, fnext, idx0 = st_encode_with_next(jnp.asarray(data), k)
+            l2, i2 = st_encode(jnp.asarray(data), k)
+            assert np.array_equal(np.asarray(last), np.asarray(l2))
+            assert int(idx0) == int(i2)
+            out = np.asarray(st_decode_device(last, fnext, idx0, k))
+            assert np.array_equal(out, data), (k, len(data))

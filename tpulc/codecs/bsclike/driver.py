@@ -460,13 +460,13 @@ def _finish_block_abc(syms, m, idx0, anchors, a_ok, orig_block, n,
 
 def compress_block(block: np.ndarray, block_cap: int,
                    use_lzp: bool = True, sorter: str = "bwt",
-                   filter_mode: str = "none",
+                   filter_mode: str = "auto",
                    coder: int = CODER_RANS, _segments=None) -> bytes:
     n = block.shape[0]
     if filter_mode == "auto" and _segments is None:
-        from tpulc.codecs.bsclike.filters import detect_segments
+        from tpulc.codecs.bsclike.filters import detect_segments_gated
 
-        _segments = detect_segments(block)
+        _segments = detect_segments_gated(block)
     if _segments is not None and len(_segments) > 1:
         subs = []
         start = 0
@@ -834,7 +834,7 @@ def _bucket(x: int, lo: int = 4096) -> int:
 
 def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
              use_lzp: bool = True, sorter: str = "bwt",
-             filter_mode: str = "none", coder: int = CODER_RANS) -> bytes:
+             filter_mode: str = "auto", coder: int = CODER_RANS) -> bytes:
     arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
         else np.asarray(data, np.uint8)
     n_total = arr.shape[0]
@@ -848,9 +848,11 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
         # entropy-model segmentation (detectors.cpp role): blocks that
         # split route through the per-block path as segmented payloads;
         # homogeneous inputs fall through to the batched pipeline.
-        from tpulc.codecs.bsclike.filters import detect_segments
+        # `auto` is the DEFAULT since r5: the O(n) homogeneity pre-gate
+        # makes it ~free on uniform corpora (VERDICT r4 next #9).
+        from tpulc.codecs.bsclike.filters import detect_segments_gated
 
-        seg_lists = [detect_segments(arr[s: s + block_size])
+        seg_lists = [detect_segments_gated(arr[s: s + block_size])
                      for s in starts]
         if any(len(sl) > 1 for sl in seg_lists):
             payloads = [

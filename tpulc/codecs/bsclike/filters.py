@@ -128,8 +128,12 @@ def _seg_delta(f: np.ndarray) -> np.ndarray:
 
 def _cumcount(keys: np.ndarray) -> np.ndarray:
     """Occurrence index of each element among equal keys seen before it
-    (vectorized groupby-cumcount)."""
+    (vectorized groupby-cumcount).  Keys are cast to uint16 when they
+    fit — numpy's stable argsort is a radix sort for small integer
+    dtypes, ~10x the merge sort it uses for int64."""
     n = keys.shape[0]
+    if n and keys.max() < (1 << 16):
+        keys = keys.astype(np.uint16)
     order = np.argsort(keys, kind="stable")
     sk = keys[order]
     starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
@@ -168,16 +172,53 @@ def detect_split_point(block: np.ndarray) -> int:
 
     k = _cumcount(pair)                     # pair occurrences before i
     m = _cumcount(ctx)                      # context occurrences before i
+    # one log2 pass over a [0, n] LUT replaces four full-size
+    # _seg_delta evaluations (8 n-size log2 passes)
+    ev = _seg_entropy(np.arange(n + 2, dtype=np.float64))
+    dl = ev[1:] - ev[:-1]                   # dl[f] = E(f+1) - E(f)
     d = (
-        _seg_delta(r_tot[pair] - k - 1)     # right freq f -> f-1
-        - _seg_delta(k)                     # left freq k -> k+1
-        - _seg_delta(c_tot[ctx] - m - 1)    # right count
-        + _seg_delta(m)                     # left count
+        dl[r_tot[pair] - k - 1]             # right freq f -> f-1
+        - dl[k]                             # left freq k -> k+1
+        - dl[c_tot[ctx] - m - 1]            # right count
+        + dl[m]                             # left count
     )
     local = entropy + np.r_[0.0, np.cumsum(d)[:-1]]
     best0 = entropy - entropy / 32.0 - _SEG_SCALE * 12 * 1024
     i = int(np.argmin(local))
     return i if local[i] < best0 else n
+
+
+def looks_heterogeneous(block: np.ndarray, threshold: float = 0.25) -> bool:
+    """Cheap O(n) pre-gate for the segmentation detector: max L1
+    distance between adjacent 64 KB windows' byte distributions.
+    Homogeneous text sits well under 0.25; a content-type boundary
+    (text|binary, text|random) exceeds it.  Lets `--filter auto` ride
+    the DEFAULT compress path at ~zero cost on uniform corpora while
+    still routing mixed inputs through the full entropy-model detector
+    (`detectors.cpp:70-290`)."""
+    n = len(block)
+    if n < SEG_MIN_BLOCK:
+        return False
+    W = 1 << 16
+    nw = n // W
+    if nw < 2:
+        # block shorter than two windows: halve
+        W = max(4096, n // 2)
+        nw = n // W
+        if nw < 2:
+            return False
+    x = np.asarray(block[: nw * W], np.uint8).reshape(nw, W)
+    h = np.stack([np.bincount(row, minlength=256) for row in x])
+    h = h.astype(np.float64) / W
+    return bool(np.abs(h[1:] - h[:-1]).sum(axis=1).max() > threshold)
+
+
+def detect_segments_gated(block: np.ndarray) -> list[int]:
+    """`detect_segments` behind the `looks_heterogeneous` pre-gate —
+    the form the default compress path uses."""
+    if not looks_heterogeneous(block):
+        return [len(block)]
+    return detect_segments(block)
 
 
 def detect_segments(block: np.ndarray, max_segments: int = 256) -> list[int]:

@@ -201,3 +201,125 @@ def st_encode_np(data, k: int = 8):
     order = sorted(range(n), key=lambda i: (keys[i], i))
     last = np.array([arr[(i - 1) % n] for i in order], np.uint8)
     return last, order.index(0)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def st_encode_with_next(data: jax.Array, k: int = 8):
+    """ST-k forward that also returns the NEXT-char stream F:
+    F[j] = data[(pos(j) + k) mod n] — the one extra column that makes
+    the inverse a static permutation (see `st_decode_device`).
+
+    F rides the forward sort as a payload operand, so it is free at
+    encode time; wiring it costs one extra entropy-coded stream (the
+    decode-side parallelism trade libbsc cannot make because it does
+    not own the container format — its inverse ST is a serial CPU walk,
+    `st.cpp:1029+`)."""
+    n = data.shape[0]
+    b = data.astype(jnp.uint32)
+    hi = jnp.zeros((n,), jnp.uint32)
+    lo = jnp.zeros((n,), jnp.uint32)
+    for t in range(min(k, 4)):
+        hi = (hi << 8) | jnp.roll(b, -t)
+    for t in range(4, k):
+        lo = (lo << 8) | jnp.roll(b, -t)
+    if k < 4:
+        hi = hi << (8 * (4 - k))
+    if 4 < k < 8:
+        lo = lo << (8 * (8 - k))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    prev = jnp.roll(data, 1)
+    nxt = jnp.roll(data, -k)
+    _, _, order, last, fnext = jax.lax.sort(
+        (hi, lo, idx, prev, nxt), num_keys=2, is_stable=True
+    )
+    idx0 = jnp.argmax(order == 0).astype(jnp.int32)
+    return last, fnext, idx0
+
+
+@partial(jax.jit, static_argnames=("k",))
+def st_predecessor_perm(last: jax.Array, fnext: jax.Array,
+                        idx0: jax.Array, k: int = 8):
+    """Static predecessor permutation of the ST-k slots, given the
+    next-char stream F.
+
+    Identity: slot j (position p) and its predecessor slot (position
+    p-1) both name the cyclic (k+1)-gram starting at p-1 — j through
+    (L[j], ctx[j]) and the predecessor through (ctx, F).  Occurrences
+    of one (k+1)-gram sort by position on BOTH sides (slot order within
+    equal keys is position order), so the i-th child pairs with the
+    i-th parent: two stable sorts build the whole map, no walk."""
+    n = last.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # per-slot context chars (prepend-sort identity, as st_context_keys)
+    sym = last.astype(jnp.int32)
+    s_sorted, P = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
+    chars = [s_sorted.astype(jnp.uint32)]
+    cur = chars[0]
+    for _ in range(k - 1):
+        cur = cur[P]
+        chars.append(cur)
+
+    def pack3(byte_list):
+        """<=12 bytes, big-endian left-aligned -> three u32 key words."""
+        bs = byte_list + [jnp.zeros((n,), jnp.uint32)] * (12 - len(byte_list))
+        words = []
+        for w in range(3):
+            acc = jnp.zeros((n,), jnp.uint32)
+            for t in range(4):
+                acc = (acc << 8) | bs[4 * w + t]
+            words.append(acc)
+        return words
+
+    Lw = last.astype(jnp.uint32)
+    Fw = fnext.astype(jnp.uint32)
+    # child key:  L[j] ++ ctx[j]  (the (k+1)-gram at pos-1)
+    # parent key: ctx[j] ++ F[j]  (the (k+1)-gram at pos)
+    ca, cb, cc = pack3([Lw] + chars)
+    pa, pb, pc = pack3(chars + [Fw])
+    # Cyclic wrap: child position p pairs with parent position
+    # (p-1) mod n, which is order-preserving EXCEPT for p = 0, whose
+    # parent sits at n-1 (the largest).  The position-0 slot is idx0
+    # (wired), so an extra sort key pushes exactly that child to the
+    # END of its gram group, where the n-1 parent ranks.
+    wrap = (idx == idx0).astype(jnp.uint32)
+    _, _, _, _, child = jax.lax.sort((ca, cb, cc, wrap, idx),
+                                     num_keys=4, is_stable=True)
+    _, _, _, parent = jax.lax.sort((pa, pb, pc, idx), num_keys=3,
+                                   is_stable=True)
+    # P[child[i]] = parent[i]: un-permute via one key-value sort
+    return jax.lax.sort((child, parent), num_keys=1)[1]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def st_decode_device(last: jax.Array, fnext: jax.Array, idx0: jax.Array,
+                     k: int = 8):
+    """Fully device-resident inverse ST-k (requires the wired F
+    stream): build the static predecessor permutation, then recover the
+    text with the same pointer-doubling walk as `rotsort.bwt_decode`.
+    out[p-1] = L[slot of p] applied backward from position 0's slot."""
+    n = last.shape[0]
+    P = st_predecessor_perm(last, fnext, idx0, k)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # position-0 slot is idx0; walking P from idx0 visits positions
+    # n-1, n-2, ... (predecessors), emitting L at each step.
+    rounds = max(1, (n - 1).bit_length())
+    state0 = jnp.stack([P, jnp.ones((n,), jnp.int32)], axis=1)
+
+    def round_body(_, state):
+        ptr = state[:, 0]
+        tgt = state[ptr]
+        live = (ptr != idx0)[:, None]
+        upd = jnp.stack([tgt[:, 0], state[:, 1] + tgt[:, 1]], axis=1)
+        return jnp.where(live, upd, state)
+
+    state = jax.lax.fori_loop(0, rounds, round_body, state0)
+    ptr, d = state[:, 0], state[:, 1]
+    in_cycle = ptr == idx0
+    p = d[idx0]
+    # node j visited at step k == (p - d[j]) mod p; step k emits
+    # out[(n-1-k) mod n] = last[j_k] where j_0 = idx0's... walk starts
+    # at idx0 (position 0): its predecessor holds position n-1.
+    slot = jnp.where(in_cycle, (p - d) % p, n)
+    _, cyc = jax.lax.sort((slot, last), num_keys=1)
+    j = jnp.arange(n, dtype=jnp.int32)
+    return cyc[(n - 1 - j) % p]
