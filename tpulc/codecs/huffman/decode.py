@@ -534,7 +534,7 @@ def huffman_decode_flat_batch(
     )
     from tpulc.codecs.huffman.pallas_decode import (
         decode_canonical_indices_flat,
-        normalize_rows,
+        gather_rows,
     )
 
     B, w_pad = words.shape
@@ -545,26 +545,48 @@ def huffman_decode_flat_batch(
     # left-justified limits: LJ[l] = lim[l] << (L-l) (nested regions)
     shifts = (L - jnp.arange(L + 1, dtype=jnp.int32))[None, :]
     lj = lim << shifts                              # [B, L+1]
-    rows_n = normalize_rows(words, chunk_bit_offsets, row_words)
+    # Pad ccap to a tile multiple so no 1024-chunk tile spans two
+    # blocks: the canonical tables then ship PER TILE through SMEM
+    # (13 scalars) instead of per chunk through VMEM (the per-chunk
+    # broadcast alone cost 3.3 ms/100 MB, plus its tile transposes).
+    TILE = 1024
+    ccap2 = -(-ccap // TILE) * TILE
+    offs2 = jnp.concatenate(
+        [chunk_bit_offsets,
+         jnp.broadcast_to(total_bits[:, None], (B, ccap2 - ccap))],
+        axis=1) if ccap2 != ccap else chunk_bit_offsets
+    rows_n, pos_in_row = gather_rows(words, offs2, row_words)
     bl = jnp.minimum(
-        total_bits[:, None] - chunk_bit_offsets, chunk_syms * L
+        total_bits[:, None] - offs2, chunk_syms * L
     ).reshape(-1)                                   # [nsub]
-    lj_c = jnp.repeat(lj, ccap, axis=0)
-    base_c = jnp.repeat(base, ccap, axis=0)
+    tpb = ccap2 // TILE                             # tiles per block
+    tb_idx = jnp.arange(B * tpb, dtype=jnp.int32) // tpb
+    lj_t = lj[tb_idx]                               # [T, L+1] (tiny)
+    base_t = base[tb_idx]
     ci = decode_canonical_indices_flat(
-        rows_n, bl, lj_c, base_c, chunk_syms, max_len, row_words,
-        interpret=interpret)
-    ranks = ci.reshape(B, ccap * chunk_syms)
+        rows_n, pos_in_row, bl, lj_t, base_t, chunk_syms, max_len,
+        row_words, interpret=interpret)             # packed, 4 ranks/word
+    ranks_p = ci.reshape(
+        B, ccap2 * chunk_syms // 4)[:, : ccap * chunk_syms // 4]
 
     def _map_one(args):
-        r, o = args
-        flat = jnp.clip(r, 0, 255)
+        rp, o = args                # rp int32 [n/4], 4 packed ranks
         ss16 = o[:256].astype(jnp.bfloat16).reshape(16, 16)
-        oh_h = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
-        oh_l = jax.nn.one_hot(flat & 15, 16, dtype=jnp.bfloat16)
-        tmp = jnp.matmul(oh_h, ss16,
-                         precision=jax.lax.Precision.HIGHEST)
-        sym = jnp.sum(tmp * oh_l, axis=1)
-        return sym.astype(jnp.int32).astype(jnp.uint8)
+        # map each packed byte lane separately and repack: the
+        # rank->symbol lookup stays in packed space end to end (one
+        # whole-batch bitcast at the caller) — unpacking inside the
+        # map body cost 4 relayout copies per block (r5 profile).
+        packed_sym = jnp.zeros_like(rp)
+        for b in range(4):
+            fb = (rp >> (8 * b)) & 255
+            oh_h = jax.nn.one_hot(fb >> 4, 16, dtype=jnp.bfloat16)
+            oh_l = jax.nn.one_hot(fb & 15, 16, dtype=jnp.bfloat16)
+            tmp = jnp.matmul(oh_h, ss16,
+                             precision=jax.lax.Precision.HIGHEST)
+            sym = jnp.sum(tmp * oh_l, axis=1).astype(jnp.int32) & 255
+            packed_sym = packed_sym | (sym << (8 * b))
+        return packed_sym
 
-    return jax.lax.map(_map_one, (ranks, ss))
+    syms_p = jax.lax.map(_map_one, (ranks_p, ss))   # int32 [B, n/4]
+    return jax.lax.bitcast_convert_type(
+        syms_p, jnp.uint8).reshape(B, ccap * chunk_syms)

@@ -322,14 +322,14 @@ def _decompress_batch_aligned(group: list[bytes], cap: int,
 
 def flat_row_words(chunk: int, max_len: int) -> int:
     """Row width for the v3 flat kernel: the deepest refill word index
-    (pallas_decode._kernel_flat's static window bound at the last
-    pair) + the 7-word rotation margin of `normalize_rows`, rounded to
-    a multiple of 8."""
-    from tpulc.codecs.huffman.pallas_decode import _WSLACK
+    of `pallas_decode._kernel_flat`'s static window bound at the last
+    pair (fidx0 <= 7 rotation margin included), rounded to a multiple
+    of 8."""
+    from tpulc.codecs.huffman.pallas_decode import _PARA, _WSLACK
 
     p_last = chunk // 2 - 1
-    w_hi = 2 + _WSLACK + max(0, (2 * max_len * p_last - 32) // 32)
-    return -(-(w_hi + 1 + 7) // 8) * 8
+    w_hi = _PARA + 1 + _WSLACK + (2 * max_len * p_last) // 32 + 2
+    return -(-(w_hi + 1) // _PARA) * _PARA
 
 
 def decode_batch_device(words_a, tbits_a, lens_a, offs_a,
@@ -346,7 +346,11 @@ def decode_batch_device(words_a, tbits_a, lens_a, offs_a,
                       "TPULC_HUFF_KERNEL=ranks|v1|buffered", stacklevel=2)
     kern = os.environ.get("TPULC_HUFF_KERNEL")
     if kern is None:
-        kern = "ranks" if jax.default_backend() == "cpu" else "flat"
+        # r5 measured at 100 MB / 128-block batches: buffered 1.67
+        # GB/s vs flat 1.25 (flat's single-grid win was overtaken once
+        # MAX_BATCH=128 removed the per-block dispatch tax buffered
+        # paid; its prep transposes now cost more than the lax.map).
+        kern = "ranks" if jax.default_backend() == "cpu" else "buffered"
     elif kern not in ("ranks", "v1", "buffered", "flat"):
         raise ValueError(
             f"TPULC_HUFF_KERNEL={kern!r}: expected ranks|v1|buffered|flat")
@@ -413,7 +417,11 @@ def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
     return c.to_bytes()
 
 
-MAX_BATCH = 32  # blocks per device round (bounds HBM working set)
+# Blocks per device round (bounds the HBM working set).  r5: on TPU,
+# one 100 MB corpus = ONE device call — per-call dispatch through the
+# device tunnel cost ~13 ms.  On CPU the fixed batch shape pads small
+# test inputs, so the bucket stays small there.
+MAX_BATCH = 32 if jax.default_backend() == "cpu" else 128
 
 
 def decompress(buf: bytes, max_len: int = DEFAULT_MAX_LEN) -> bytes:

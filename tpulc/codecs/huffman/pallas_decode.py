@@ -398,36 +398,61 @@ def decode_canonical_indices_buffered(
 # (2 ops per length), and only the base[] lookup keeps a select chain.
 
 _WSLACK = 1  # extra refill-window word each side (defensive margin)
+_PARA = 32   # words per gathered row paragraph (128 B; see fetch note)
 
 
 def _kernel_flat(max_len: int, chunk_syms: int, row_words: int,
-                 w_ref, bl_ref, lj_ref, base_ref, out_ref):
+                 w_ref, pos_ref, bl_ref, lj_ref, base_ref, out_ref):
     L = max_len
     rw = row_words
-    assert 2 * L <= 32 and chunk_syms % 2 == 0
+    assert 2 * L <= 32 and chunk_syms % 4 == 0
 
     def Wi(w):                                     # int32 [8, NL]
         return w_ref[w * _SL:(w + 1) * _SL, :]
 
-    lj = [None] + [lj_ref[l * _SL:(l + 1) * _SL, :] for l in range(1, L + 1)]
+    # Tables are per tile (every chunk of a tile belongs to one block
+    # by construction), shipped as lane-broadcast VMEM planes: one
+    # (8, NL) vreg per length — SMEM can't hold [T, 13] at T ~ 1024,
+    # and per-chunk planes cost a 100 MB transpose.
+    lj = [None] + [lj_ref[l * _SL:(l + 1) * _SL, :]
+                   for l in range(1, L + 1)]
     base = [None] + [base_ref[l * _SL:(l + 1) * _SL, :]
                      for l in range(1, L + 1)]
     bits_left = bl_ref[:, :]                       # [8, NL] i32
-    hi = Wi(0).astype(_U32)
-    lo = Wi(1).astype(_U32)
-    nav = jnp.full((_SL, NL), 64, jnp.int32)
-    fidx = jnp.full((_SL, NL), 2, jnp.int32)
+    # In-kernel row normalization: pos0 in [0, 1024) is the bit offset
+    # of the stream inside this row (rows are 1024-bit-aligned 128-byte
+    # paragraphs — 32-byte paragraph gathers ran at ~2 GB/s on the v5e
+    # while 128-byte-class rows gather at HBM bandwidth; the wider
+    # in-kernel fetch windows this costs are far cheaper).
+    pos0 = pos_ref[:, :]
+    fidx0 = pos0 >> 5                              # [0, 32)
+    b = (pos0 & 31).astype(_U32)
+
+    def fetch(tgt, lo_w, hi_w):
+        acc = jnp.zeros((_SL, NL), jnp.int32)
+        for w in range(lo_w, hi_w + 1):
+            acc = acc + jnp.where(tgt == w, Wi(w), 0)
+        return acc.astype(_U32)
+
+    w0 = fetch(fidx0, 0, _PARA - 1)
+    w1 = fetch(fidx0 + 1, 1, _PARA)
+    blsh = jnp.where(b > 0, _U32(32) - b, _U32(1))
+    hi = (w0 << b) | jnp.where(b > 0, w1 >> blsh, _U32(0))
+    lo = w1 << b
+    nav = 64 - (pos0 & 31)
+    fidx = fidx0 + 2
+    packed = jnp.zeros((_SL, NL), jnp.int32)
 
     for p in range(chunk_syms // 2):
-        # refill (once per symbol pair): bounded-window masked fetch
+        # refill (once per symbol pair): bounded-window masked fetch.
+        # fidx = fidx0 + 2 + t with fidx0 in [0, _PARA) and t (refills
+        # so far) provably in [ceil((2p-64)/32), (2Lp)//32 + 2]
+        # (codeword length in [1, L], reservoir holds (0, 64] bits).
         need = nav <= 32
         w_lo = max(2, 2 - _WSLACK + max(0, -(-(2 * p - 64) // 32)))
-        w_hi = min(rw - 1, 2 + _WSLACK + max(0, (2 * L * p - 32) // 32))
-        tgt = jnp.where(need, fidx, -1)
-        acc = jnp.zeros((_SL, NL), jnp.int32)
-        for w in range(w_lo, w_hi + 1):
-            acc = acc + jnp.where(tgt == w, Wi(w), 0)
-        wv = acc.astype(_U32)
+        w_hi = min(rw - 1,
+                   _PARA + 1 + _WSLACK + (2 * L * p) // 32 + 2)
+        wv = fetch(jnp.where(need, fidx, -1), w_lo, w_hi)
         navu = jnp.clip(nav, 0, 31).astype(_U32)
         shlo = jnp.clip(32 - nav, 0, 31).astype(_U32)
         hi = hi | jnp.where(need & (nav < 32), wv >> navu, _U32(0))
@@ -442,13 +467,21 @@ def _kernel_flat(max_len: int, chunk_syms: int, row_words: int,
             found = win < lj[L]
             ln = jnp.where(found, ln, 1)
             code = win >> jnp.clip(L - ln, 0, 31)
-            bsel = jnp.zeros((_SL, NL), jnp.int32)
-            for l in range(1, L + 1):
+            bsel = base[1]
+            for l in range(2, L + 1):
                 bsel = jnp.where(ln == l, base[l], bsel)
             ci = jnp.where(found, bsel + code, 0)
             active = bits_left > 0
             t = 2 * p + k
-            out_ref[t * _SL:(t + 1) * _SL, :] = jnp.where(active, ci, 0)
+            # pack 4 ranks per output word (little-endian byte order):
+            # 4x less store traffic, and the un-interleave + symbol-map
+            # stages downstream read 1 byte/symbol instead of 4.
+            ci8 = jnp.clip(jnp.where(active, ci, 0), 0, 255)
+            packed = packed | (ci8 << (8 * (t & 3)))
+            if t & 3 == 3:
+                q = t >> 2
+                out_ref[q * _SL:(q + 1) * _SL, :] = packed
+                packed = jnp.zeros((_SL, NL), jnp.int32)
             st = jnp.where(active, ln, 0)
             bits_left = bits_left - st
             su = st.astype(_U32)
@@ -461,48 +494,55 @@ def _kernel_flat(max_len: int, chunk_syms: int, row_words: int,
 @partial(jax.jit, static_argnames=("chunk_syms", "max_len", "row_words",
                                    "interpret"))
 def decode_canonical_indices_flat(
-        rows_norm: jax.Array,      # uint32 [nsub, rw] bit-normalized
+        rows_norm: jax.Array,      # uint32 [nsub, rw] raw aligned rows
+        pos_in_row: jax.Array,     # int32 [nsub] bit offset in [0, 1024)
         bits_left: jax.Array,      # int32 [nsub]
-        lj_chunk: jax.Array,       # int32 [nsub, L+1] left-justified lims
-        base_chunk: jax.Array,     # int32 [nsub, L+1]
+        lj_tile: jax.Array,        # int32 [T, L+1] left-justified lims
+        base_tile: jax.Array,      # int32 [T, L+1] (T = nsub/1024 tiles)
         chunk_syms: int,
         max_len: int,
         row_words: int,
         interpret: bool = False) -> jax.Array:
     """Whole-batch buffered decode: every chunk of every block in one
-    pallas grid.  Rows must be bit-normalized (stream starts at bit 0
-    of word 0; see `normalize_rows`).  Returns int32[nsub, chunk_syms]
-    canonical indices (0 past each chunk's end)."""
+    pallas grid.  Rows are raw 1024-bit-aligned windows (see
+    `gather_rows`); `pos_in_row` gives each stream's bit offset inside
+    its row (the kernel normalizes in-register).  Canonical tables are
+    PER TILE (all 1024 chunks of a tile must share one table — the
+    caller pads ccap to a tile multiple).  Returns
+    int32[nsub, chunk_syms/4] PACKED canonical indices — byte b of
+    word q is the rank of symbol 4q+b (0 past each chunk's end)."""
     nsub = rows_norm.shape[0]
     L = max_len
     rw = row_words
     assert rows_norm.shape[1] == rw and rw % 8 == 0
     TILE = _SL * NL
-    pad = -(-nsub // TILE) * TILE
-    T = pad // TILE
-
-    def padc(x, fill=0):
-        return jnp.pad(x, [(0, pad - nsub)] + [(0, 0)] * (x.ndim - 1),
-                       constant_values=fill)
+    assert nsub % TILE == 0, "caller must pad chunks to tile multiple"
+    T = nsub // TILE
+    assert lj_tile.shape[0] == T and base_tile.shape[0] == T
 
     # chunk c = (i*_SL + s)*NL + lane; in-tile word plane row = w*8 + s
     rows_t = jax.lax.bitcast_convert_type(
-        padc(rows_norm), jnp.int32
+        rows_norm, jnp.int32
     ).reshape(T, _SL, NL, rw).transpose(0, 3, 1, 2).reshape(
         T * rw * _SL, NL)
-    bl_t = padc(bits_left).reshape(T * _SL, NL)
-    lj_t = padc(lj_chunk).reshape(T, _SL, NL, L + 1).transpose(
-        0, 3, 1, 2).reshape(T * (L + 1) * _SL, NL)
-    base_t = padc(base_chunk).reshape(T, _SL, NL, L + 1).transpose(
-        0, 3, 1, 2).reshape(T * (L + 1) * _SL, NL)
+    pos_t = pos_in_row.reshape(T * _SL, NL)
+    bl_t = bits_left.reshape(T * _SL, NL)
+    lj_p = jnp.broadcast_to(
+        lj_tile[:, :, None, None], (T, L + 1, _SL, NL)
+    ).reshape(T * (L + 1) * _SL, NL)
+    base_p = jnp.broadcast_to(
+        base_tile[:, :, None, None], (T, L + 1, _SL, NL)
+    ).reshape(T * (L + 1) * _SL, NL)
 
+    Q = chunk_syms // 4
     out = pl.pallas_call(
         partial(_kernel_flat, max_len, chunk_syms, rw),
-        out_shape=jax.ShapeDtypeStruct((T * chunk_syms * _SL, NL),
-                                       jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T * Q * _SL, NL), jnp.int32),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((rw * _SL, NL), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SL, NL), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_SL, NL), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -511,51 +551,43 @@ def decode_canonical_indices_flat(
             pl.BlockSpec(((L + 1) * _SL, NL), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk_syms * _SL, NL), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((Q * _SL, NL), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rows_t, bl_t, lj_t, base_t)
-    # in-tile out row = t*_SL + s  ->  [chunk, symbol]
-    out = out.reshape(T, chunk_syms, _SL, NL).transpose(0, 2, 3, 1)
-    return out.reshape(pad, chunk_syms)[:nsub]
+    )(rows_t, pos_t, bl_t, lj_p, base_p)
+    # in-tile out row = q*_SL + s  ->  [chunk, packed-word]
+    out = out.reshape(T, Q, _SL, NL).transpose(0, 2, 3, 1)
+    return out.reshape(nsub, Q)
 
 
-def normalize_rows(words: jax.Array, offs: jax.Array, row_words: int):
-    """Gather + bit-normalize each chunk's stream row.
+def gather_rows(words: jax.Array, offs: jax.Array, row_words: int):
+    """Gather each chunk's raw 256-bit-aligned stream window.
 
     words: uint32 [B, w_pad]; offs: int32 [B, ccap] absolute bit
-    offsets.  Returns uint32 [B*ccap, row_words] rows whose bit 0 of
-    word 0 is each chunk's first stream bit.  All fused elementwise +
-    one aligned dim-0 row gather (the fast XLA gather form; arbitrary-
-    start windowed gathers lower per-element).
+    offsets.  Returns (rows uint32 [B*ccap, row_words],
+    pos_in_row int32 [B*ccap] in [0, 32*_PARA)).  ONE dim-0 gather of
+    a full row_words-wide row per chunk, from a 32-word-stride
+    overlapped layout — row width is the whole game on the v5e:
+    gathering rw/32 separate 128 B paragraph rows per chunk ran at
+    ~8.5 ns/row (20 ms/100 MB) while one 384 B row costs ~1.3 ns and
+    the 3x-overlap layout build ~1 ms/group.  Rotation/bit alignment
+    happens inside the kernel (`pos_in_row`).
     """
     B, w_pad = words.shape
     ccap = offs.shape[1]
     rw = row_words
-    dup = rw // 8
-    R = -(-w_pad // 8)
+    P = _PARA
+    assert rw % P == 0
+    dup = rw // P
+    R = -(-w_pad // P)
     wz = jnp.concatenate(
-        [words,
-         jnp.zeros((B, R * 8 - w_pad + (dup - 1) * 8), jnp.uint32)],
-        axis=1)
-    # 256-bit-aligned overlapped layout: row r covers words [8r, 8r+rw)
+        [words, jnp.zeros((B, R * P - w_pad + rw), jnp.uint32)], axis=1)
     lay = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(wz, 8 * d, R * 8, axis=1)
-            .reshape(B, R, 8)
-         for d in range(dup)], axis=2)              # [B, R, rw]
+        [jax.lax.dynamic_slice_in_dim(wz, P * d, R * P, axis=1)
+            .reshape(B, R, P)
+         for d in range(dup)], axis=2).reshape(B * R, rw)
     offs_f = offs.reshape(-1)
-    srow = jnp.clip(offs_f >> 8, 0, R - 1)
+    p0 = jnp.clip(offs_f >> 10, 0, R - 1)           # 1024-bit rows
     bidx = (jnp.arange(B * ccap, dtype=jnp.int32) // ccap) * R
-    rows = lay.reshape(B * R, rw)[srow + bidx]      # [nsub, rw]
-    # word-rotate left by fidx0 in [0, 8)
-    fidx0 = ((offs_f - (srow << 8)) >> 5)[:, None]  # [nsub, 1]
-    rot = jnp.zeros_like(rows)
-    for k in range(8):
-        rot = rot + jnp.where(fidx0 == k, jnp.roll(rows, -k, axis=1), 0)
-    # funnel bit-shift left by (offs & 31)
-    sh = (offs_f & 31).astype(jnp.uint32)[:, None]
-    rnext = jnp.concatenate(
-        [rot[:, 1:], jnp.zeros((B * ccap, 1), jnp.uint32)], axis=1)
-    rows_n = jnp.where(
-        sh > 0, (rot << sh) | (rnext >> (jnp.uint32(32) - sh)), rot)
-    return rows_n
+    rows = lay[p0 + bidx]                           # [nsub, rw]
+    return rows, offs_f - (p0 << 10)
