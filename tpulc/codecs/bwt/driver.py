@@ -28,6 +28,7 @@ Per-block payload (little-endian):
 
 from __future__ import annotations
 
+import os
 import struct
 from functools import partial
 
@@ -132,8 +133,10 @@ def _anchor_bytes(R: int) -> int:
 
 # 512-step lane walks halve the inverse-BWT serial depth vs 1024; the
 # extra anchor metadata (~0.4% of a typical block payload) still passes
-# the encoder's anchors-vs-stream pricing.
-ANCHOR_STRIDE = 512
+# the encoder's anchors-vs-stream pricing.  TPULC_ANCHOR_STRIDE
+# overrides for stride A/B runs (encode+decode share the constant, so
+# it must be set for BOTH sides of a round trip).
+ANCHOR_STRIDE = int(os.environ.get("TPULC_ANCHOR_STRIDE", "512"))
 
 
 @jax.jit
