@@ -398,23 +398,11 @@ def decode_batch_device(words_a, tbits_a, lens_a, offs_a,
 def compress(data: bytes | np.ndarray, block_size: int = 1 << 20,
              max_len: int = DEFAULT_MAX_LEN, aligned: bool = True,
              chunk_syms: int = CHUNK_SYMS_V2) -> bytes:
-    arr = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
-        else np.asarray(data, np.uint8)
-    n = arr.shape[0]
-    payloads = []
-    for start in range(0, max(n, 1), block_size):
-        block = arr[start: start + block_size]
-        payloads.append(
-            compress_block(block, max_len, block_cap=block_size,
-                           aligned=aligned, chunk_syms=chunk_syms)
-        )
-    c = Container(
-        codec_id=CODEC_HUFFMAN, flags=FLAG_ALIGNED if aligned else 0,
-        orig_len=n, block_size=block_size,
-        comp_sizes=[len(p) for p in payloads], payloads=payloads,
-        data_adler=adler32_np(arr),
-    )
-    return c.to_bytes()
+    """Batched device encode (see `compress_batched` below — the
+    per-block host loop paid ~3 device syncs per block and was the
+    slow side of the codec)."""
+    return compress_batched(data, block_size, max_len, aligned,
+                            chunk_syms)
 
 
 # Blocks per device round (bounds the HBM working set).  r5: on TPU,
@@ -442,3 +430,122 @@ def decompress(buf: bytes, max_len: int = DEFAULT_MAX_LEN) -> bytes:
     if not c.verify_data(np.frombuffer(out, np.uint8)):
         raise ValueError("data checksum mismatch after decompress")
     return out
+
+
+@partial(jax.jit, static_argnames=("out_words", "nchunks", "chunk_syms",
+                                   "max_len"))
+def _encode_batch(blocks, ns, out_words: int, nchunks: int,
+                  chunk_syms: int, max_len: int):
+    """Whole-group encode in ONE device program: per-block histogram,
+    DEVICE package-merge + canonical codes (bit-identical to the host
+    build for block histograms — `device_tables`), bit packing, chunk
+    offsets.  Replaces the per-block host loop that made compress the
+    slow side of the codec (BENCH_FULL_r5: 0.77 MB/s rt while decode
+    ran at GB/s; ~3 tunnel syncs per block).
+
+    Returns (words u32[B, out_words], total_bits i32[B],
+    chunk_offsets i32[B, nchunks], lengths i32[B, 256])."""
+    from tpulc.codecs.huffman.device_tables import (
+        canonical_codes_device,
+        package_merge_lengths_device,
+    )
+
+    def one(block, n):
+        cap = block.shape[0]
+        idx32 = block.astype(jnp.int32)
+        valid = jnp.arange(cap, dtype=jnp.int32) < n
+        sel = jnp.where(valid, idx32, 256)
+        freqs = jnp.zeros((257,), jnp.int32).at[sel].add(
+            1, mode="drop")[:256]
+        lens = package_merge_lengths_device(freqs, max_len)
+        codes, lens = canonical_codes_device(lens, max_len)
+        # one packed (code << 5 | len) table -> ONE per-symbol gather
+        packed = ((codes.astype(jnp.int32) << 5) | lens)[
+            jnp.minimum(idx32, 255)]
+        sym_lens = jnp.where(valid, packed & 31, 0)
+        sym_codes = jnp.where(valid, packed >> 5, 0).astype(jnp.uint32)
+        words, total_bits = pack_bits(sym_codes, sym_lens, out_words)
+        off = jnp.cumsum(sym_lens) - sym_lens
+        chunk_offsets = off[:: chunk_syms][:nchunks].astype(jnp.int32)
+        chunk_valid = (jnp.arange(nchunks, dtype=jnp.int32)
+                       * chunk_syms) < n
+        chunk_offsets = jnp.where(chunk_valid, chunk_offsets, total_bits)
+        return words, total_bits, chunk_offsets, lens
+
+    return jax.vmap(one)(blocks, ns)
+
+
+def _payload_from(nsym: int, total_bits: int, lens_np: np.ndarray,
+                  offs_np, words_np: np.ndarray, aligned: bool,
+                  chunk_syms: int) -> bytes:
+    """Assemble one block payload from pulled device results (same wire
+    bytes as `compress_block`)."""
+    v2 = chunk_syms != CHUNK_SYMS
+    lens8 = lens_np.astype(np.uint8)
+    nibbles = (lens8[0::2] | (lens8[1::2] << 4)).tobytes()
+    mode = (FLAG_ALIGNED2 if v2 else FLAG_ALIGNED) if aligned else 0
+    payload = _BLOCK_HEAD.pack(nsym, total_bits, mode) + nibbles
+    if aligned:
+        used_chunks = max(1, -(-nsym // chunk_syms))
+        offs = offs_np[:used_chunks].astype(np.int64)
+        if v2:
+            ends = np.append(offs[1:], total_bits)
+            deltas = (ends - offs).astype("<u2")
+            payload += struct.pack(
+                "<BI", chunk_syms.bit_length() - 1, used_chunks
+            ) + deltas.tobytes()
+        else:
+            payload += struct.pack("<I", used_chunks) \
+                + offs.astype("<u4").tobytes()
+    nw = -(-total_bits // 32)
+    payload += words_np[:nw].astype("<u4").tobytes()
+    return payload
+
+
+def compress_batched(data: bytes | np.ndarray, block_size: int = 1 << 20,
+                     max_len: int = DEFAULT_MAX_LEN, aligned: bool = True,
+                     chunk_syms: int = CHUNK_SYMS_V2) -> bytes:
+    """`compress` with MAX_BATCH blocks per device program and ONE
+    bucketed words pull per group (the bz driver's pull pattern)."""
+    arr = np.frombuffer(data, np.uint8) \
+        if isinstance(data, (bytes, bytearray)) \
+        else np.asarray(data, np.uint8)
+    if aligned and chunk_syms % 8 != 0:
+        raise ValueError(
+            f"chunk_syms={chunk_syms} must be a multiple of 8 "
+            "(TPU decode kernel constraint)")
+    n = arr.shape[0]
+    cap = block_size
+    out_words = -(-cap * max_len // 32)
+    nchunks = max(1, -(-cap // chunk_syms))
+    starts = list(range(0, max(n, 1), block_size))
+    payloads = []
+    for i in range(0, len(starts), MAX_BATCH):
+        group = starts[i: i + MAX_BATCH]
+        B = len(group)
+        blocks = np.zeros((B, cap), np.uint8)
+        ns = []
+        for j, s in enumerate(group):
+            chunk = arr[s: s + block_size]
+            blocks[j, : chunk.shape[0]] = chunk
+            ns.append(chunk.shape[0])
+        words, tbits, offs, lens = _encode_batch(
+            jnp.asarray(blocks), jnp.asarray(np.asarray(ns, np.int32)),
+            out_words, nchunks, chunk_syms, max_len)
+        tbits_np = np.asarray(tbits)
+        offs_np = np.asarray(offs)
+        lens_np = np.asarray(lens)
+        take = min(out_words,
+                   max(1, int((int(tbits_np.max()) + 31) // 32)))
+        words_np = np.asarray(words[:, :take])
+        for j in range(B):
+            payloads.append(_payload_from(
+                ns[j], int(tbits_np[j]), lens_np[j], offs_np[j],
+                words_np[j], aligned, chunk_syms))
+    c = Container(
+        codec_id=CODEC_HUFFMAN, flags=FLAG_ALIGNED if aligned else 0,
+        orig_len=n, block_size=block_size,
+        comp_sizes=[len(p) for p in payloads], payloads=payloads,
+        data_adler=adler32_np(arr),
+    )
+    return c.to_bytes()
