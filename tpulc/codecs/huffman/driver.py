@@ -274,7 +274,11 @@ def _parse_aligned_group(group: list[bytes], cap: int, max_len: int):
         words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
         parsed.append((n, total_bits, nib, bit_offsets, words))
     ccap = max(1, -(-cap // chunk_syms))
-    Bp = MAX_BATCH  # fixed batch shape: ONE compiled program per w_pad
+    # Batch shape bucketed to a power of two (<= MAX_BATCH): a fixed
+    # Bp=MAX_BATCH made a 4-block corpus decode 128 blocks' worth of
+    # kernel work (r5: 3.7 s for 3.5 MB); buckets cost at most
+    # log2(MAX_BATCH) compiled programs per w_pad.
+    Bp = min(MAX_BATCH, 1 << max(0, (len(parsed) - 1).bit_length()))
     out_words = -(-cap * max_len // 32)
     nw_max = max(max((-(-p[1] // 32) for p in parsed)), 1)
     w_pad = min(max(4096, 1 << (nw_max - 1).bit_length()), out_words)
