@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from tpulc.codecs.huffman.decode import _compose_scan, _pad_words
-from tpulc.primitives.bits import peek_bits
+from tpulc.primitives.bits import byte_windows, peek_bits_bw
 
 WINDOW = 4096
 N_STATES = 17
@@ -43,7 +43,7 @@ def _token_fields(v17: jax.Array):
     return is_lit, char, off, length
 
 
-def _scan_maps(words_p, total_bits, nsub: int):
+def _scan_maps(bwin, total_bits, nsub: int):
     """Per-subsequence (entry-offset -> exit-offset, output bytes)."""
     sub_start = (jnp.arange(nsub, dtype=jnp.int32) * SUB_BITS)[:, None]
     end = sub_start + SUB_BITS
@@ -57,7 +57,7 @@ def _scan_maps(words_p, total_bits, nsub: int):
     def body(state):
         pos, cnt = state
         active = pos < end
-        v17 = peek_bits(words_p, jnp.minimum(pos, total_bits), 17).astype(
+        v17 = peek_bits_bw(bwin, jnp.minimum(pos, total_bits), 17).astype(
             jnp.int32
         )
         is_lit, _, _, length = _token_fields(v17)
@@ -83,8 +83,11 @@ def lzss_decode_device(words: jax.Array, total_bits: jax.Array, n_out: int):
     W = words.shape[0]
     nsub = max(1, -(-(W * 32) // SUB_BITS))
     words_p = _pad_words(words)
+    # byte-granular windows: ONE gather per walk step instead of the
+    # straddling word pair (both serial walks are gather-bound)
+    bwin = byte_windows(words_p)
 
-    next_map, count_map = _scan_maps(words_p, total_bits, nsub)
+    next_map, count_map = _scan_maps(bwin, total_bits, nsub)
     incl_next, incl_cnt = _compose_scan(next_map, count_map)
     entry = jnp.concatenate([jnp.zeros((1,), jnp.int32), incl_next[:-1, 0]])
     offset = jnp.concatenate([jnp.zeros((1,), jnp.int32), incl_cnt[:-1, 0]])
@@ -105,7 +108,7 @@ def lzss_decode_device(words: jax.Array, total_bits: jax.Array, n_out: int):
     def body2(state):
         pos, outp, code_arr, start = state
         active = pos < end
-        v17 = peek_bits(words_p, jnp.minimum(pos, total_bits), 17).astype(
+        v17 = peek_bits_bw(bwin, jnp.minimum(pos, total_bits), 17).astype(
             jnp.int32
         )
         is_lit, _, _, length = _token_fields(v17)
@@ -156,8 +159,23 @@ def lzss_decode_device(words: jax.Array, total_bits: jax.Array, n_out: int):
     )
     src_full = jnp.where(root_mask, pidx, src_full)
 
+    # pointer doubling to fixpoint with a convergence check: worst
+    # case log2(total) rounds, but real copy forests resolve in a
+    # handful — each round is a full-size gather, so the early exit
+    # pays for itself many times over (r5 trace: the fixed-count
+    # unroll was ~1.4 s of the 3.1 s decode at 3.5 MB).
     rounds = max(1, (total - 1).bit_length())
-    for _ in range(rounds):
-        src_full = src_full[src_full]
+
+    def db_cond(st):
+        i, src, done = st
+        return (i < rounds) & ~done
+
+    def db_step(st):
+        i, src, _ = st
+        nxt = src[src]
+        return i + 1, nxt, jnp.all(nxt == src)
+
+    _, src_full, _ = jax.lax.while_loop(
+        db_cond, db_step, (jnp.int32(0), src_full, jnp.bool_(False)))
     out = resolved_val[src_full][WINDOW:]
     return out, n_valid
