@@ -144,14 +144,15 @@ def lzss_decode_device(words: jax.Array, total_bits: jax.Array, n_out: int):
 
     total = n_out + WINDOW
     pidx = jnp.arange(total, dtype=jnp.int32)
-    resolved_val = jnp.full((total,), 32, jnp.uint8)  # virtual window spaces
     lit_mask = (is_lit == 1) & (tok_start >= 0) & (idx < n_valid)
     src = jnp.where(
         (is_lit == 0) & (tok_start >= 0) & (idx < n_valid), q, idx + WINDOW
     )
-    resolved_val = resolved_val.at[jnp.where(lit_mask, idx + WINDOW, total)].set(
-        char.astype(jnp.uint8), mode="drop"
-    )
+    # literal chars land at their OWN positions — identity scatter ==
+    # masked select (spaces fill the virtual window and non-literals)
+    resolved_val = jnp.concatenate(
+        [jnp.full((WINDOW,), 32, jnp.uint8),
+         jnp.where(lit_mask, char.astype(jnp.uint8), jnp.uint8(32))])
     src_full = jnp.concatenate([pidx[:WINDOW], src])
     # literals and spaces are roots (self-loops)
     root_mask = jnp.concatenate(
