@@ -749,3 +749,59 @@ def stats_host(ranks: np.ndarray, m: int, chunk: int = GCHUNK):
     lane_bits = ev.reshape(-1, chunk).sum(axis=1)
     return (ones, tot, cones, ctot,
             int(lane_bits.max()) if len(lane_bits) else 0)
+
+
+def _reverse_rans_t(gmb_t: jax.Array, probs_t: jax.Array,
+                    nsteps: jax.Array, L: int, W: int):
+    """`_reverse_rans` over TIME-MAJOR grids (gmb_t/probs_t [Wp, Lp]):
+    each step reads a contiguous ROW via dynamic_slice instead of a
+    strided column gather (2 x nsteps of them dominated the -e2 encode
+    after the walk moved to Pallas — GRC_TRACE_r5).  Returns
+    (words uint16[L, W+2], counts int32[L], states uint32[L])."""
+    Wp, Lp = gmb_t.shape
+    x0 = jnp.full((Lp,), RANS_L, jnp.uint32)
+    emit0 = jnp.zeros((Wp, Lp), jnp.uint16)
+    emask0 = jnp.zeros((Wp, Lp), bool)
+
+    def ebody(i, st):
+        x, emit, emask = st
+        t = jnp.maximum(nsteps - 1 - i, 0)
+        e = jax.lax.dynamic_slice_in_dim(gmb_t, t, 1, axis=0)[0]
+        vq = (e > 0) & (nsteps - 1 - i >= 0)
+        b = (e & 1).astype(jnp.uint32)
+        p1 = jax.lax.dynamic_slice_in_dim(
+            probs_t, t, 1, axis=0)[0].astype(jnp.uint32)
+        f = jnp.where(b == 1, p1, SCALE - p1)
+        c = jnp.where(b == 1, SCALE - p1, 0).astype(jnp.uint32)
+        x_max = f << jnp.uint32(32 - PROB_BITS)
+        do_emit = vq & (x >= x_max)
+        emit = jax.lax.dynamic_update_slice(
+            emit, (x & 0xFFFF).astype(jnp.uint16)[None, :], (i, 0))
+        emask = jax.lax.dynamic_update_slice(
+            emask, do_emit[None, :], (i, 0))
+        x = jnp.where(do_emit, x >> jnp.uint32(16), x)
+        fx = jnp.maximum(f, 1)
+        x_new = ((x // fx) << jnp.uint32(PROB_BITS)) + (x % fx) + c
+        x = jnp.where(vq, x_new, x)
+        return x, emit, emask
+
+    def e4(s, st):
+        for q in range(4):
+            st = ebody(s * 4 + q, st)
+        return st
+
+    x, emit, emask = jax.lax.fori_loop(0, (nsteps + 3) // 4, e4,
+                                       (x0, emit0, emask0))
+    # emission index i < nsteps <= W: the Wp padding rows are never
+    # written, so slicing back to W keeps bit-identity with
+    # `_reverse_rans` (same [L, W+2] shape)
+    emit_t = emit.T[:L, :W]
+    emask_t = emask.T[:L, :W]
+    counts = jnp.sum(emask_t.astype(jnp.int32), axis=1)
+    pos_in_lane = jnp.cumsum(emask_t.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(emask_t, counts[:, None] - 1 - pos_in_lane, W + 2)
+    words = jnp.zeros((L, W + 2), jnp.uint16)
+    words = words.at[
+        jnp.arange(L, dtype=jnp.int32)[:, None], tgt
+    ].set(emit_t, mode="drop")
+    return words, counts, x[:L]

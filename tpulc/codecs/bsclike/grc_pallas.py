@@ -200,7 +200,7 @@ def grc_encode_pallas(ranks: jax.Array, m: jax.Array, W: int,
     stay XLA — they are scan/scatter shaped, not state-walk shaped)."""
     from tpulc.codecs.bsclike.grc import (
         _binarize,
-        _reverse_rans,
+        _reverse_rans_t,
         _stats_quant,
     )
 
@@ -213,8 +213,9 @@ def grc_encode_pallas(ranks: jax.Array, m: jax.Array, W: int,
     gmb_t = jnp.zeros((Wp, Lp), jnp.int32).at[:W, :L].set(gmb.T)
     probs_t = grc_walk_probs_pallas(gmb_t, init_i, cinit_i, nsteps,
                                     interpret=interpret)
-    probs = probs_t[:W, :L].T.astype(jnp.uint16)
-    words, counts, x = _reverse_rans(gmb, probs, nsteps)
+    # time-major emission: contiguous row slices per step instead of
+    # 2 x nsteps strided column gathers (GRC_TRACE_r5)
+    words, counts, x = _reverse_rans_t(gmb_t, probs_t, nsteps, L, W)
     return (words, counts, x, init_i.astype(jnp.uint16),
             cinit_i.astype(jnp.uint16), tot)
 
