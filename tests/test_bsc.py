@@ -74,6 +74,34 @@ def test_bsc_st_sorter_roundtrip(sorter):
     np.testing.assert_array_equal(out, blk)
 
 
+def test_bsc_st_wired_roundtrip():
+    """`-m st8w`: wired next-char stream makes the inverse ST fully
+    device-resident (no ctypes on the decode path) at ~2x payload —
+    the decode-parallelism trade libbsc cannot make (st.cpp:1029+)."""
+    data = _pg(120000)
+    comp = driver.compress(data, block_size=1 << 17, sorter="st8w")
+    assert driver.decompress(comp) == data
+    plain = driver.compress(data, block_size=1 << 17, sorter="st8")
+    # priced: ~2-3x payload (the wired F stream clusters worse than
+    # the last column under one shared MTF state)
+    assert len(comp) < 3.0 * len(plain)
+    # single-block driver path + wired flag recorded on the wire
+    # (pg text at ~2.7x payload lands in the stored fallback, so the
+    # flag check uses a strongly compressible block)
+    blk = np.frombuffer((b"the quick brown fox jumps. " * 2300)[:60000],
+                        np.uint8)
+    payload = driver.compress_block(blk, 1 << 16, sorter="st8w",
+                                    filter_mode="none")
+    flags = payload[driver._HEAD.size - 2]
+    assert driver._sorter_k_of_flags(flags) == (8, True)
+    out = driver.decompress_block(payload, 1 << 16)
+    np.testing.assert_array_equal(out, blk)
+    # composes with -e2 (ABC coder) like the other ST modes
+    c2 = driver.compress(data[:60000], block_size=1 << 16,
+                         sorter="st8w", coder=2)
+    assert driver.decompress(c2) == data[:60000]
+
+
 def test_bsc_abc_coder_roundtrip():
     """`-e2` adaptive binary coder (QLFC-adaptivity parity): batch,
     single-block, multi-block, and tiny/degenerate inputs."""

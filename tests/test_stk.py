@@ -114,3 +114,31 @@ def test_st_device_decode_with_next_stream():
             assert int(idx0) == int(i2)
             out = np.asarray(st_decode_device(last, fnext, idx0, k))
             assert np.array_equal(out, data), (k, len(data))
+
+
+@pytest.mark.parametrize("k", [3, 5, 8])
+@pytest.mark.parametrize("name", ["text", "runs", "tiny", "random"])
+def test_st_device_decode_masked(name, k):
+    """Masked wired-F encode/decode at capacity > n round-trips and
+    matches the exact-shape wired forward on the valid prefix."""
+    from tpulc.codecs.bwt.stk import (
+        st_decode_device_masked,
+        st_encode_with_next,
+        st_encode_with_next_masked,
+    )
+
+    arr = CASES[name]()
+    n = arr.shape[0]
+    cap = 16384
+    padded = np.zeros(cap, np.uint8)
+    padded[:n] = arr
+    last_m, fnext_m, idx0_m = st_encode_with_next_masked(
+        jnp.asarray(padded), jnp.int32(n), k=k)
+    last, fnext, idx0 = st_encode_with_next(jnp.asarray(arr), k)
+    np.testing.assert_array_equal(np.asarray(last_m)[:n], np.asarray(last))
+    np.testing.assert_array_equal(np.asarray(fnext_m)[:n],
+                                  np.asarray(fnext))
+    assert int(idx0_m) == int(idx0)
+    out = np.asarray(st_decode_device_masked(
+        last_m, fnext_m, idx0_m, jnp.int32(n), k=k))
+    np.testing.assert_array_equal(out[:n], arr)

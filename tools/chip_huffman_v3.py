@@ -109,13 +109,14 @@ def main():
 
         from tools.profile_bz_trace import parse_trace
 
-        logdir = tempfile.mkdtemp(prefix="huff_trace_")
-        with jax.profiler.trace(logdir):
-            outs = [run_flat(p) for p, _ in preps]
-            for o in outs:
-                o.block_until_ready()
-        print("=== top device ops (flat decode) ===")
-        parse_trace(logdir)
+        for name, fn in (("buffered", run_buf), ("flat", run_flat)):
+            logdir = tempfile.mkdtemp(prefix=f"huff_trace_{name}_")
+            with jax.profiler.trace(logdir):
+                outs = [fn(p) for p, _ in preps]
+                for o in outs:
+                    o.block_until_ready()
+            print(f"=== top device ops ({name} decode) ===")
+            parse_trace(logdir)
     return 0
 
 

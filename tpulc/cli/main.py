@@ -33,8 +33,11 @@ def _parse(argv):
     c.add_argument("--no-lzp", action="store_true",
                    help="bsc: disable the LZP preprocessor")
     c.add_argument("-m", "--sorter", default="bwt",
-                   choices=["bwt", "st3", "st4", "st5", "st6", "st7", "st8"],
-                   help="bsc: block sorter (BWT or Schindler ST-k)")
+                   choices=["bwt", "st3", "st4", "st5", "st6", "st7",
+                            "st8", "st8w"],
+                   help="bsc: block sorter (BWT or Schindler ST-k; "
+                        "st8w wires the next-char stream for a fully "
+                        "device-resident inverse at ~2x payload)")
     c.add_argument("--filter", default="none", dest="filter_mode",
                    help="bsc: preprocessing filter "
                         "(none|reverse|reorder:N|auto)")

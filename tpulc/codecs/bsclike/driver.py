@@ -159,24 +159,33 @@ def _filter_byte_for(block: np.ndarray, filter_mode: str) -> int:
                      "(none, reverse, reorder:N, auto)")
 
 
-def _sorter_k(name: str) -> int:
-    """'bwt' -> 0; 'st3'..'st8' -> k."""
+def _sorter_k(name: str) -> tuple[int, bool]:
+    """'bwt' -> (0, False); 'st3'..'st8' -> (k, False); 'st8w' ->
+    (8, True): ST-8 with the wired next-char stream, whose inverse is
+    fully device-resident (`stk.st_decode_device_masked`) at ~2x
+    payload (sorter code 7 on the wire)."""
     if name == "bwt":
-        return 0
+        return 0, False
+    if name == "st8w":
+        return 8, True
     if name.startswith("st"):
         k = int(name[2:])
         if 3 <= k <= 8:
-            return k
-    raise ValueError(f"unknown sorter {name!r} (bwt, st3..st8)")
+            return k, False
+    raise ValueError(f"unknown sorter {name!r} (bwt, st3..st8, st8w)")
 
 
-def _sorter_flag_bits(k_sort: int) -> int:
+def _sorter_flag_bits(k_sort: int, wired: bool = False) -> int:
+    if wired:
+        return 7 << SORTER_SHIFT
     return ((k_sort - 2) << SORTER_SHIFT) if k_sort else 0
 
 
-def _sorter_k_of_flags(flags: int) -> int:
+def _sorter_k_of_flags(flags: int) -> tuple[int, bool]:
     c = (flags & SORTER_MASK) >> SORTER_SHIFT
-    return c + 2 if c else 0
+    if c == 7:
+        return 8, True
+    return (c + 2, False) if c else (0, False)
 
 
 def _pack_freq_tables(fq: np.ndarray) -> bytes:
@@ -294,6 +303,60 @@ def _fwd_packed_st(padded, n, k: int):
         fctx,
     ])
     return syms, ctx, meta
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def _fwd_packed_st_wired(padded, n, k: int):
+    """Wired-F ST-k forward (`stk.st_encode_with_next_masked`): the
+    combined last||F stream (valid prefix 2n over [2*cap]) rides the
+    same MTF/RLE2/ctx pipeline, making the inverse ST a static device
+    permutation at decode (`_st_decode_wired_stage`) — no ctypes on
+    the decode path.  Costs one extra entropy-coded stream (measured
+    ~2.7x payload on pg text — the F stream clusters worse than the
+    last column): the decode-parallelism trade libbsc cannot make because
+    it does not own the container format (its inverse ST is a serial
+    CPU walk, `cuda-bsc/libbsc/st/st.cpp:1029+`)."""
+    from tpulc.codecs.bwt.rle import rle2_encode
+    from tpulc.codecs.bwt.stk import st_encode_with_next_masked
+    from tpulc.primitives.mtf import mtf_encode
+
+    cap = padded.shape[0]
+    r_cap = -(-(2 * cap) // ANCHOR_STRIDE)
+    idx2 = jnp.arange(2 * cap, dtype=jnp.int32)
+    last, fnext, idx0 = st_encode_with_next_masked(padded, n, k)
+    z = jnp.zeros((cap,), jnp.uint8)
+    combined = jnp.concatenate([last, z]) | jnp.roll(
+        jnp.concatenate([fnext, z]), n)
+    ranks = mtf_encode(combined)
+    ranks = jnp.where(idx2 < 2 * n, ranks, jnp.uint8(255))
+    syms, m_all = rle2_encode(ranks)
+    m = m_all - (2 * cap - 2 * n)
+    hists, ctx = _ctx_stats(syms, m)
+    fctx = ctx.reshape(-1, CHUNK)[:, 0]
+    meta = jnp.concatenate([
+        jnp.stack([m, idx0, jnp.int32(0)]),
+        jnp.zeros((r_cap,), jnp.int32),
+        hists.reshape(-1),
+        fctx,
+    ])
+    return syms, ctx, meta
+
+
+@_partial(jax.jit, static_argnames=("k", "cap2"))
+def _st_decode_wired_stage(syms, m, n, idx0, k: int, cap2: int):
+    """Chip-resident inverse for wired ST blocks: RLE2 + MTF inverse
+    recover the combined last||F stream (2n valid bytes over [2*cap2]),
+    then the static predecessor-permutation walk restores the text
+    (`stk.st_decode_device_masked`)."""
+    from tpulc.codecs.bwt.rle import rle2_decode
+    from tpulc.codecs.bwt.stk import st_decode_device_masked
+    from tpulc.primitives.mtf import mtf_decode
+
+    ranks, _ = rle2_decode(syms, m)
+    combined = mtf_decode(ranks)
+    last = combined[:cap2]
+    fnext = jnp.roll(combined, -n)[:cap2]
+    return st_decode_device_masked(last, fnext, idx0, n, k)
 
 
 @jax.jit
@@ -481,8 +544,8 @@ def compress_block(block: np.ndarray, block_cap: int,
             [len(s) for s in subs], "<u4"
         ).tobytes() + b"".join(subs)
     cap = _cap_for(block_cap)
-    k_sort = _sorter_k(sorter)
-    flags = _sorter_flag_bits(k_sort)
+    k_sort, st_wired = _sorter_k(sorter)
+    flags = _sorter_flag_bits(k_sort, st_wired)
     orig_block = block
     fb = _filter_byte_for(block, filter_mode)
     if fb != FILTER_NONE:
@@ -512,10 +575,16 @@ def compress_block(block: np.ndarray, block_cap: int,
                                  orig_block, n, m_lzp, cap, flags, fb)
     with timing.stage("bsc.transform"):
         if k_sort:
-            syms, ctx, meta = _fwd_packed_st(
-                jnp.asarray(padded), jnp.int32(m_lzp), k_sort
-            )
-            r_cap = -(-tcap // ANCHOR_STRIDE)
+            if st_wired:
+                syms, ctx, meta = _fwd_packed_st_wired(
+                    jnp.asarray(padded), jnp.int32(m_lzp), k_sort
+                )
+                r_cap = -(-(2 * tcap) // ANCHOR_STRIDE)
+            else:
+                syms, ctx, meta = _fwd_packed_st(
+                    jnp.asarray(padded), jnp.int32(m_lzp), k_sort
+                )
+                r_cap = -(-tcap // ANCHOR_STRIDE)
             m, idx0 = meta[0], meta[1]
             a_ok = jnp.bool_(False)
             anchors = meta[3: 3 + r_cap]
@@ -625,7 +694,12 @@ def decompress_block(payload: bytes, block_cap: int,
         anchors = _unpack_bits_np(payload[off: off + nb], aw, r_used)
         off += nb
     cap = _cap_for(block_cap)
-    dcap = _tcap_for(max(m, m_lzp), cap)
+    k_sort, st_wired = _sorter_k_of_flags(flags)
+    if st_wired:
+        # wired ST streams code 2*m_lzp bytes (last || F)
+        dcap = _tcap_for(max(m, 2 * m_lzp), 2 * cap)
+    else:
+        dcap = _tcap_for(max(m, m_lzp), cap)
     if coder == CODER_GRC:
         from tpulc.codecs.bsclike import grc as G
 
@@ -749,12 +823,18 @@ def decompress_block(payload: bytes, block_cap: int,
             jnp.asarray(states_p), jnp.asarray(fctx_p), jnp.int32(m),
             jnp.asarray(freq_d), jnp.asarray(cum_d), jnp.asarray(lut),
         )
-    k_sort = _sorter_k_of_flags(flags)
     if k_sort:
-        from tpulc.codecs.bwt.stk import st_decode
+        if st_wired:
+            with timing.stage("bsc.unsort"):
+                stage = np.asarray(_st_decode_wired_stage(
+                    syms, jnp.int32(m), jnp.int32(m_lzp),
+                    jnp.int32(idx0), k_sort, dcap // 2,
+                ))[:m_lzp]
+        else:
+            from tpulc.codecs.bwt.stk import st_decode
 
-        last = np.asarray(_st_last_stage(syms, jnp.int32(m)))[:m_lzp]
-        stage = st_decode(last, idx0, k_sort)
+            last = np.asarray(_st_last_stage(syms, jnp.int32(m)))[:m_lzp]
+            stage = st_decode(last, idx0, k_sort)
         if flags & FLAG_LZP:
             out = np.frombuffer(lzp_decode(stage, n), np.uint8)
         else:
@@ -839,7 +919,7 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
         else np.asarray(data, np.uint8)
     n_total = arr.shape[0]
     cap = _cap_for(block_size)
-    k_sort = _sorter_k(sorter)
+    k_sort, st_wired = _sorter_k(sorter)
     aw = max(1, int(cap - 1).bit_length())
     starts = list(range(0, max(n_total, 1), block_size))
     B = len(starts)
@@ -869,9 +949,10 @@ def compress(data: bytes | np.ndarray, block_size: int = DEFAULT_BLOCK,
             )
             return c.to_bytes()
 
-    if coder == CODER_ABC and k_sort == 0:
-        # group-rank coder (-e2 on the BWT sorter) rides the per-block
-        # path; blocks at the default 25 MB mean B is small
+    if (coder == CODER_ABC and k_sort == 0) or st_wired:
+        # group-rank coder (-e2 on the BWT sorter) and wired-ST blocks
+        # ride the per-block path; blocks at the default 25 MB mean B
+        # is small
         payloads = [
             compress_block(arr[s: s + block_size], block_size,
                            use_lzp, sorter, filter_mode, coder)
@@ -1108,7 +1189,10 @@ def decompress(buf: bytes) -> bytes:
                 p[off: off + n], np.uint8
             )))
             continue
-        if coder in (CODER_SEGMENTED, CODER_GRC):
+        if coder in (CODER_SEGMENTED, CODER_GRC) \
+                or _sorter_k_of_flags(flags)[1]:
+            # segmented, grc, and wired-ST payloads take the per-block
+            # path (wired ST streams are 2x-sized; see _fwd_packed_st_wired)
             parsed.append(("seg", p))
             continue
         if coder == CODER_RANS:
@@ -1261,7 +1345,7 @@ def decompress(buf: bytes) -> bytes:
             pr = parsed[i]
             _, n, m_lzp, m, idx0, flags, anchors = pr[:7]
             syms = syms_map[i]
-            k_sort = _sorter_k_of_flags(flags)
+            k_sort, _ = _sorter_k_of_flags(flags)
             if k_sort:
                 stages_dev.append(_st_last_stage(syms, jnp.int32(m)))
             elif anchors is not None:
@@ -1285,7 +1369,7 @@ def decompress(buf: bytes) -> bytes:
             pr = parsed[i]
             _, n, m_lzp, m, idx0, flags = pr[:6]
             filt = pr[12]
-            k_sort = _sorter_k_of_flags(flags)
+            k_sort, _ = _sorter_k_of_flags(flags)
             if k_sort:
                 from tpulc.codecs.bwt.stk import st_decode
 

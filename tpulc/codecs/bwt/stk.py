@@ -291,6 +291,129 @@ def st_predecessor_perm(last: jax.Array, fnext: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("k",))
+def st_encode_with_next_masked(padded: jax.Array, n: jax.Array,
+                               k: int = 8):
+    """`st_encode_masked` that also returns the next-char stream F
+    (valid prefix n): F[j] = data[(pos(j) + k) mod n] — the wired
+    column that makes the inverse a static permutation (see
+    `st_decode_device_masked`)."""
+    from tpulc.codecs.bwt.masked import _doubled, _wrap_slice
+
+    cap = padded.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    real = idx < n
+    nn = jnp.maximum(n, 1)
+    d2 = _doubled(padded.astype(jnp.uint32), nn, 0)
+    bs = [padded.astype(jnp.uint32)] + [
+        _wrap_slice(d2, jnp.int32(t) % nn, cap) for t in range(1, k)
+    ]
+    hi = jnp.zeros((cap,), jnp.uint32)
+    lo = jnp.zeros((cap,), jnp.uint32)
+    for t in range(min(k, 4)):
+        hi = (hi << 8) | bs[t]
+    for t in range(4, k):
+        lo = (lo << 8) | bs[t]
+    if k < 4:
+        hi = hi << (8 * (4 - k))
+    if 4 < k < 8:
+        lo = lo << (8 * (8 - k))
+    prim = jnp.where(real, 0, 1)
+    hi = jnp.where(real, hi, idx.astype(jnp.uint32))
+    lo = jnp.where(real, lo, 0)
+    d2u8 = _doubled(padded, nn, jnp.uint8(0))
+    prev = _wrap_slice(d2u8, (nn - 1) % nn, cap)
+    nxt = _wrap_slice(d2u8, jnp.int32(k) % nn, cap)
+    _, _, _, order, last, fnext = jax.lax.sort(
+        (prim, hi, lo, idx, prev, nxt), num_keys=4, is_stable=True
+    )
+    last = jnp.where(real, last, 0).astype(jnp.uint8)
+    fnext = jnp.where(real, fnext, 0).astype(jnp.uint8)
+    idx0 = jnp.argmax((order == 0) & real).astype(jnp.int32)
+    return last, fnext, idx0
+
+
+def _pack3_keys(byte_list, cap):
+    """<=12 big-endian left-aligned bytes -> three u32 key words."""
+    bs = byte_list + [jnp.zeros((cap,), jnp.uint32)] * (12 - len(byte_list))
+    words = []
+    for w in range(3):
+        acc = jnp.zeros((cap,), jnp.uint32)
+        for t in range(4):
+            acc = (acc << 8) | bs[4 * w + t]
+        words.append(acc)
+    return words
+
+
+@partial(jax.jit, static_argnames=("k",))
+def st_predecessor_perm_masked(last: jax.Array, fnext: jax.Array,
+                               idx0: jax.Array, n: jax.Array,
+                               k: int = 8):
+    """`st_predecessor_perm` over the valid prefix n of uint8[cap].
+
+    Pad rows (idx >= n) carry a primary pad key plus their own index,
+    so each pad child pairs with itself on the parent side: P is the
+    identity on pads (harmless self-loops off the idx0 cycle)."""
+    cap = last.shape[0]
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    real = idx < n
+    sym = jnp.where(real, last.astype(jnp.int32), 256 + idx)
+    s_sorted, P = jax.lax.sort((sym, idx), num_keys=1, is_stable=True)
+    chars = [jnp.minimum(s_sorted, 255).astype(jnp.uint32)]
+    cur = chars[0]
+    for _ in range(k - 1):
+        cur = cur[P]
+        chars.append(cur)
+    Lw = last.astype(jnp.uint32)
+    Fw = fnext.astype(jnp.uint32)
+    ca, cb, cc = _pack3_keys([Lw] + chars, cap)
+    pa, pb, pc = _pack3_keys(chars + [Fw], cap)
+    prim = jnp.where(real, 0, 1)
+    padk = idx.astype(jnp.uint32)
+    ca = jnp.where(real, ca, padk)
+    cb = jnp.where(real, cb, 0)
+    cc = jnp.where(real, cc, 0)
+    pa = jnp.where(real, pa, padk)
+    pb = jnp.where(real, pb, 0)
+    pc = jnp.where(real, pc, 0)
+    wrap = ((idx == idx0) & real).astype(jnp.uint32)
+    _, _, _, _, _, child = jax.lax.sort(
+        (prim, ca, cb, cc, wrap, idx), num_keys=5, is_stable=True)
+    _, _, _, _, parent = jax.lax.sort(
+        (prim, pa, pb, pc, idx), num_keys=4, is_stable=True)
+    return jax.lax.sort((child, parent), num_keys=1)[1]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def st_decode_device_masked(last: jax.Array, fnext: jax.Array,
+                            idx0: jax.Array, n: jax.Array, k: int = 8):
+    """Device inverse ST-k over the valid prefix n of uint8[cap]
+    (wired-F mode): masked predecessor permutation + the same
+    pointer-doubling walk as `st_decode_device`.  Returns uint8[cap]
+    with the recovered text in [0, n)."""
+    cap = last.shape[0]
+    last = jnp.where(jnp.arange(cap, dtype=jnp.int32) < n, last, 0)
+    P = st_predecessor_perm_masked(last, fnext, idx0, n, k)
+    rounds = max(1, (cap - 1).bit_length())
+    state0 = jnp.stack([P, jnp.ones((cap,), jnp.int32)], axis=1)
+
+    def round_body(_, state):
+        ptr = state[:, 0]
+        tgt = state[ptr]
+        live = (ptr != idx0)[:, None]
+        upd = jnp.stack([tgt[:, 0], state[:, 1] + tgt[:, 1]], axis=1)
+        return jnp.where(live, upd, state)
+
+    state = jax.lax.fori_loop(0, rounds, round_body, state0)
+    ptr, d = state[:, 0], state[:, 1]
+    in_cycle = ptr == idx0
+    p = jnp.maximum(d[idx0], 1)
+    slot = jnp.where(in_cycle, (p - d) % p, cap)
+    _, cyc = jax.lax.sort((slot, last), num_keys=1)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    return cyc[(n - 1 - j) % p]
+
+
+@partial(jax.jit, static_argnames=("k",))
 def st_decode_device(last: jax.Array, fnext: jax.Array, idx0: jax.Array,
                      k: int = 8):
     """Fully device-resident inverse ST-k (requires the wired F

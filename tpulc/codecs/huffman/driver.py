@@ -274,11 +274,17 @@ def _parse_aligned_group(group: list[bytes], cap: int, max_len: int):
         words = np.frombuffer(payload[off: off + 4 * nw], "<u4")
         parsed.append((n, total_bits, nib, bit_offsets, words))
     ccap = max(1, -(-cap // chunk_syms))
-    # Batch shape bucketed to a power of two (<= MAX_BATCH): a fixed
-    # Bp=MAX_BATCH made a 4-block corpus decode 128 blocks' worth of
-    # kernel work (r5: 3.7 s for 3.5 MB); buckets cost at most
-    # log2(MAX_BATCH) compiled programs per w_pad.
-    Bp = min(MAX_BATCH, 1 << max(0, (len(parsed) - 1).bit_length()))
+    # Batch shape bucketed: powers of two up to 32, then multiples of
+    # 32 (a fixed Bp=MAX_BATCH made a 4-block corpus decode 128 blocks'
+    # worth of kernel work — r5: 3.7 s for 3.5 MB — and a pure pow-2
+    # bucket padded the 96-block 100 MB corpus to 128, 33% wasted
+    # kernel work).  Buckets cost at most 9 compiled programs per
+    # w_pad.
+    B = len(parsed)
+    if B <= 32:
+        Bp = 1 << max(0, (B - 1).bit_length())
+    else:
+        Bp = min(MAX_BATCH, -(-B // 32) * 32)
     out_words = -(-cap * max_len // 32)
     nw_max = max(max((-(-p[1] // 32) for p in parsed)), 1)
     w_pad = min(max(4096, 1 << (nw_max - 1).bit_length()), out_words)
