@@ -484,6 +484,11 @@ def huffman_decode_buffered_batch(
     )
 
     ccap = chunk_bit_offsets.shape[1]
+    B = words.shape[0]
+    # (A G=8-blocks-per-iteration variant — 12 Mosaic launches instead
+    # of 96 at 100 MB, per-chunk end vector — measured 84 ms vs this
+    # structure's 52: the big per-iteration one-hot/einsum
+    # intermediates cost more than the launches they save.)
 
     def one(args):
         w, tb, ln, of = args
@@ -491,26 +496,37 @@ def huffman_decode_buffered_batch(
         wp = jnp.concatenate([w, jnp.zeros((2,), jnp.uint32)])
         lim_c = jnp.broadcast_to(lim[None, :], (ccap, max_len + 1))
         base_c = jnp.broadcast_to(base[None, :], (ccap, max_len + 1))
-        ci = decode_canonical_indices_buffered(
+        # packed kernel output (4 ranks/word): 4x less store traffic
+        # out of the kernel, 4x smaller un-interleave transpose and
+        # lax.map result stacking (the stacking DUS alone was 5.9 ms
+        # of the 28 ms device time at 100 MB, r5 profile).
+        rp = decode_canonical_indices_buffered(
             wp, of, tb, lim_c, base_c, chunk_syms, max_len,
-            row_words=row_words, interpret=interpret,
-        )
-        flat = jnp.clip(ci.reshape(-1), 0, 255)
+            row_words=row_words, interpret=interpret, packed=True,
+        ).reshape(-1)                # [ccap*chunk/4] packed ranks
         # rank -> symbol through the 16x16 factored map: generating a
         # 256-wide one-hot costs ~256 VPU element-ops per symbol and
         # was the decode's largest fusion (26.7 of 33 ms at 32 MB);
         # two 16-wide one-hots + a [16,16] table contraction produce
-        # the same lookup at ~1/4 the element work.
+        # the same lookup at ~1/4 the element work.  The map runs in
+        # packed space end to end (one whole-batch bitcast at the
+        # caller), as the flat path does.
         ss16 = ss[:256].astype(jnp.bfloat16).reshape(16, 16)
-        oh_h = jax.nn.one_hot(flat >> 4, 16, dtype=jnp.bfloat16)
-        oh_l = jax.nn.one_hot(flat & 15, 16, dtype=jnp.bfloat16)
-        tmp = jnp.matmul(oh_h, ss16,
-                         precision=jax.lax.Precision.HIGHEST)
-        sym = jnp.sum(tmp * oh_l, axis=1)
-        return sym.astype(jnp.int32).astype(jnp.uint8)
+        packed_sym = jnp.zeros_like(rp)
+        for b in range(4):
+            fb = (rp >> (8 * b)) & 255
+            oh_h = jax.nn.one_hot(fb >> 4, 16, dtype=jnp.bfloat16)
+            oh_l = jax.nn.one_hot(fb & 15, 16, dtype=jnp.bfloat16)
+            tmp = jnp.matmul(oh_h, ss16,
+                             precision=jax.lax.Precision.HIGHEST)
+            sym = jnp.sum(tmp * oh_l, axis=1).astype(jnp.int32) & 255
+            packed_sym = packed_sym | (sym << (8 * b))
+        return packed_sym
 
-    return jax.lax.map(one, (words, total_bits, lengths,
-                             chunk_bit_offsets))
+    syms_p = jax.lax.map(one, (words, total_bits, lengths,
+                               chunk_bit_offsets))
+    return jax.lax.bitcast_convert_type(
+        syms_p, jnp.uint8).reshape(B, ccap * chunk_syms)
 
 
 @partial(jax.jit, static_argnames=("chunk_syms", "max_len", "row_words",

@@ -191,6 +191,7 @@ _SL = 8  # sublane groups per tile: TILE = _SL * NL = 1024 chunks
 
 
 def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
+                     packed: bool,
                      wrow_ref, pos_ref, end_ref, lim_ref, base_ref,
                      out_ref):
     L = max_len
@@ -234,6 +235,7 @@ def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
     bits_left = end - pos0
 
     rows = []
+    packed_w = jnp.zeros((_SL, NL), jnp.int32)
     for p in range(chunk_syms // 2):
         # conditional refill, once per pair
         need = nav <= 32
@@ -244,7 +246,7 @@ def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
         lo = lo | jnp.where(need & (nav > 0), w << shlo, _U32(0))
         nav = nav + jnp.where(need, 32, 0)
         fidx = fidx + jnp.where(need, 1, 0)
-        for _ in range(2):
+        for k in range(2):
             win = (hi >> _U32(32 - L)).astype(jnp.int32)
             ln = jnp.zeros((_SL, NL), jnp.int32)
             ci = jnp.zeros((_SL, NL), jnp.int32)
@@ -257,7 +259,21 @@ def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
                 found = found | hit
             ln = jnp.where(found, ln, 1)           # corrupt-stream guard
             active = bits_left > 0
-            rows.append(jnp.where(active, ci, 0))  # [8, NL]
+            t = 2 * p + k
+            if packed:
+                # pack 4 ranks per output word (byte b = symbol 4q+b):
+                # 4x less store traffic, and the un-interleave + the
+                # rank->symbol map downstream read 1 byte per symbol
+                # (requires alphabet <= 256 — the huffman codec; bz's
+                # 257-wide RLE2 alphabet keeps the unpacked layout).
+                ci8 = jnp.clip(jnp.where(active, ci, 0), 0, 255)
+                packed_w = packed_w | (ci8 << (8 * (t & 3)))
+                if t & 3 == 3:
+                    q = t >> 2
+                    out_ref[q * _SL:(q + 1) * _SL, :] = packed_w
+                    packed_w = jnp.zeros((_SL, NL), jnp.int32)
+            else:
+                rows.append(jnp.where(active, ci, 0))  # [8, NL]
             st = jnp.where(active, ln, 0)
             bits_left = bits_left - st
             su = st.astype(_U32)
@@ -265,7 +281,7 @@ def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
             hi = (hi << su) | jnp.where(st > 0, lo >> sl, _U32(0))
             lo = lo << su
             nav = nav - st
-        if len(rows) == 8:
+        if not packed and len(rows) == 8:
             # rows r of the slab hold (t, s) = (r // 8, r % 8); the
             # wrapper un-interleaves with one reshape/transpose.
             slab = jnp.concatenate(rows, axis=0)   # [64, NL]
@@ -275,7 +291,7 @@ def _kernel_buffered(max_len: int, chunk_syms: int, row_words: int,
 
 
 @partial(jax.jit, static_argnames=("chunk_syms", "max_len",
-                                   "row_words", "interpret"))
+                                   "row_words", "interpret", "packed"))
 def decode_canonical_indices_buffered(
         words_p: jax.Array,
         chunk_bit_offsets: jax.Array,
@@ -285,10 +301,16 @@ def decode_canonical_indices_buffered(
         chunk_syms: int,
         max_len: int,
         row_words: int,
-        interpret: bool = False) -> jax.Array:
+        interpret: bool = False,
+        packed: bool = False) -> jax.Array:
     """Same contract as `decode_canonical_indices`, via the buffered
     sublane-packed kernel.  `row_words` must cover
-    ceil((31 + chunk_syms*L)/32) + 1 and be a multiple of 8."""
+    ceil((31 + chunk_syms*L)/32) + 1 and be a multiple of 8.
+
+    With `packed=True` (alphabet <= 256 only) the return is
+    int32[nsub, chunk_syms/4] with byte b of word q holding the rank
+    of symbol 4q+b — 4x less kernel store traffic and a byte-wide
+    downstream pipeline."""
     nsub = chunk_bit_offsets.shape[0]
     TILE = _SL * NL
     pad = -(-nsub // TILE) * TILE
@@ -336,10 +358,10 @@ def decode_canonical_indices_buffered(
     base_t = padc(base_chunk).reshape(T, _SL, NL, L + 1).transpose(
         0, 1, 3, 2).reshape(T * _SL * (L + 1), NL)
 
+    Q = chunk_syms // 4 if packed else chunk_syms
     out = pl.pallas_call(
-        partial(_kernel_buffered, max_len, chunk_syms, rw),
-        out_shape=jax.ShapeDtypeStruct((T * chunk_syms * _SL, NL),
-                                       jnp.int32),
+        partial(_kernel_buffered, max_len, chunk_syms, rw, packed),
+        out_shape=jax.ShapeDtypeStruct((T * Q * _SL, NL), jnp.int32),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((_SL * rw, NL), lambda i: (i, 0),
@@ -353,15 +375,15 @@ def decode_canonical_indices_buffered(
             pl.BlockSpec((_SL * (L + 1), NL), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((chunk_syms * _SL, NL),
+        out_specs=pl.BlockSpec((Q * _SL, NL),
                                lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(rows_t, pos_t, end_t, lim_t, base_t)
-    # out rows within a tile: r = t*_SL + s  (t = symbol index);
-    # un-interleave back to [chunk, symbol].
-    out = out.reshape(T, chunk_syms, _SL, NL).transpose(0, 2, 3, 1)
-    return out.reshape(pad, chunk_syms)[:nsub]
+    # out rows within a tile: r = t*_SL + s  (t = symbol or packed-word
+    # index); un-interleave back to [chunk, t].
+    out = out.reshape(T, Q, _SL, NL).transpose(0, 2, 3, 1)
+    return out.reshape(pad, Q)[:nsub]
 
 
 # ---------------------------------------------------------------------
